@@ -1,0 +1,169 @@
+"""Lossless decoder: container -> host Rice unpack -> batched device scan.
+
+Pipeline (mirrors the behavior of lossless/decoder.rs:21-273, redesigned
+batch-first):
+
+1. Classify every (frame, channel) into a *lane* with uniform parameters
+   (residual row, 12 coefficient taps, shift, warm-up order, fixed flag) so a
+   single universal reconstruction kernel handles LPC/fixed/raw/silence.
+2. Rice-unpack all lanes on the host (vectorized, one pass).
+3. One jitted lax.scan over [lanes, samples] reconstructs everything at once;
+   mid/side undo and i32->f32 conversion are fused into the same jit.
+4. Host trims per-frame tails and interleaves.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..container import reader
+from ..core import rice_host
+from ..core.constants import (
+    FIXED_PREDICTOR_MARKER,
+    FrameType,
+    ResidualEncoding,
+)
+from ..core.types import FloFile
+from ..ops import lpc
+from ..ops.intmath import div2_trunc
+
+
+def _marshal_lanes(flo: FloFile):
+    """Build per-lane arrays from a parsed file.
+
+    Returns (residual_rows [L,S], coeffs [L,12], shifts [L], orders [L],
+    is_fixed [L], mid_side [F] bool, S, frame_lengths [F]).
+    Lane order is frame-major, channel-minor.
+    """
+    channels = flo.header.channels
+    frames = [f for f in flo.frames if not FrameType.from_byte(f.frame_type).is_transform]
+    F = len(frames)
+    if F == 0:
+        return None
+    S = max(f.frame_samples for f in frames)
+    L = F * channels
+
+    rows = np.zeros((L, S), dtype=np.int32)
+    coeffs = np.zeros((L, lpc.MAX_ORDER), dtype=np.int32)
+    shifts = np.zeros(L, dtype=np.int32)
+    orders = np.zeros(L, dtype=np.int32)
+    is_fixed = np.zeros(L, dtype=bool)
+    mid_side = np.zeros(F, dtype=bool)
+    frame_lengths = np.zeros(F, dtype=np.int64)
+
+    # Defer rice decodes so they run as one vectorized batch.
+    rice_jobs = []  # (lane, blob, k, n)
+
+    for fi, frame in enumerate(frames):
+        n = frame.frame_samples
+        frame_lengths[fi] = n
+        mid_side[fi] = channels == 2 and bool(frame.flags & 0x01)
+        for ci in range(channels):
+            lane = fi * channels + ci
+            ch = frame.channels[ci] if ci < len(frame.channels) else None
+            if ch is None:
+                continue
+            has_coeffs = len(ch.predictor_coeffs) > 0
+            has_residuals = len(ch.residuals) > 0
+            # Classification order mirrors decoder.rs:92-148.
+            if not has_coeffs and has_residuals and ch.shift_bits >= FIXED_PREDICTOR_MARKER:
+                order = ch.shift_bits - FIXED_PREDICTOR_MARKER
+                rice_jobs.append((lane, ch.residuals, ch.rice_parameter, n))
+                if order <= 4:
+                    is_fixed[lane] = True
+                    orders[lane] = order
+                    coeffs[lane, :] = lpc._FIXED_COEFFS[order]
+                # order > 4: unknown fixed order -> samples = residuals verbatim
+                # (decoder.rs:261-264): zero coeffs, order 0 already set.
+            elif has_coeffs:
+                order = len(ch.predictor_coeffs)
+                rice_jobs.append((lane, ch.residuals, ch.rice_parameter, n))
+                coeffs[lane, :order] = np.asarray(ch.predictor_coeffs, dtype=np.int64).astype(
+                    np.int32
+                )
+                shifts[lane] = min(int(ch.shift_bits), 15)
+                orders[lane] = order
+            elif has_residuals:
+                # Raw i16 PCM (decoder.rs:132-144); whole i16 pairs only.
+                raw = np.frombuffer(
+                    ch.residuals[: (len(ch.residuals) // 2) * 2], dtype="<i2"
+                ).astype(np.int32)
+                m = min(len(raw), n)
+                rows[lane, :m] = raw[:m]
+            # else: silence -> zeros already.
+
+    for lane, blob, k, n in rice_jobs:
+        rows[lane, :n] = rice_host.decode(blob, k, n)
+
+    return rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths
+
+
+@partial(jax.jit, static_argnames=("channels",))
+def _device_decode(rows, coeffs, shifts, orders, is_fixed, mid_side, channels: int):
+    """Reconstruct + mid/side undo + f32 conversion, fully on device.
+
+    rows: [F*C, S] -> returns [F, S, C] float32 (interleave-ready).
+    """
+    samples = lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed)
+    S = samples.shape[1]
+    fcs = samples.reshape(-1, channels, S)
+    if channels == 2:
+        m, s = fcs[:, 0], fcs[:, 1]
+        left = div2_trunc(m + s)
+        right = div2_trunc(m - s)
+        ms = mid_side[:, None]
+        fcs = jnp.stack(
+            [jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1
+        )
+    f32 = fcs.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+    return jnp.transpose(f32, (0, 2, 1))
+
+
+def decode_file(flo: FloFile) -> np.ndarray:
+    """Decode a parsed lossless file to interleaved float32 samples."""
+    channels = flo.header.channels
+    marshaled = _marshal_lanes(flo)
+    if marshaled is None:
+        return np.zeros(0, dtype=np.float32)
+    rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths = marshaled
+
+    out = np.asarray(
+        _device_decode(rows, coeffs, shifts, orders, is_fixed, mid_side, channels)
+    )  # [F, S, C]
+
+    if (frame_lengths == S).all():
+        return out.reshape(-1, channels).reshape(-1)
+    parts = [out[i, : frame_lengths[i]] for i in range(out.shape[0])]
+    return np.concatenate(parts, axis=0).reshape(-1)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode flo bytes to interleaved float32 samples (lossless path)."""
+    return decode_file(reader.read(data))
+
+
+def decode_file_i32(flo: FloFile) -> np.ndarray:
+    """Integer-domain decode: [total_samples, channels] int32 (pre mid/side
+    conversion applied, i.e. true L/R). Used by bit-exactness tests."""
+    channels = flo.header.channels
+    marshaled = _marshal_lanes(flo)
+    if marshaled is None:
+        return np.zeros((0, channels), dtype=np.int32)
+    rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths = marshaled
+    samples = np.asarray(lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed))
+    fcs = samples.reshape(-1, channels, S)
+    if channels == 2:
+        m, s = fcs[:, 0].astype(np.int64), fcs[:, 1].astype(np.int64)
+
+        def trunc_div2(t):
+            return t // 2 + ((t < 0) & (t % 2 != 0))
+
+        left = np.where(mid_side[:, None], trunc_div2(m + s), m)
+        right = np.where(mid_side[:, None], trunc_div2(m - s), s)
+        fcs = np.stack([left.astype(np.int32), right.astype(np.int32)], axis=1)
+    parts = [fcs[i, :, : frame_lengths[i]].T for i in range(fcs.shape[0])]
+    return np.concatenate(parts, axis=0)

@@ -1,0 +1,197 @@
+"""LPC kernels: batched reconstruction scan and residual computation.
+
+TPU-first design: the unit of work is a batch of *lanes* (one lane = one
+frame-channel). Throughput comes from lane parallelism — the reconstruction
+recurrence is sequential in time but fully vectorized across lanes, while the
+encoder's residual computation has no sequential dependence at all and runs as
+a batched 12-tap integer convolution.
+
+One universal kernel covers every lossless frame type
+(lossless/decoder.rs:92-273):
+
+* LPC order 1-12: stored coefficients, i64-exact MAC + >> shift
+  (via 15-bit limb math, see ops/intmath.py), warm-up = residuals verbatim.
+* Fixed predictors 0-4: binomial coefficients with shift 0; their documented
+  ramp-up (order o uses predictor order min(i, o) for the first samples,
+  decoder.rs:187-273) is reproduced by swapping in a global per-step ramp
+  coefficient row while i < order.
+* Raw/silence: zero coefficients -> identity on residuals.
+
+All adds wrap in int32 exactly like the reference's release-mode arithmetic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intmath import predict_shift
+
+MAX_ORDER = 12
+
+#: Binomial difference-filter coefficients for fixed predictors 0..4
+#: (lpc.rs:301-359), padded to MAX_ORDER taps.
+_FIXED_COEFFS = np.zeros((5, MAX_ORDER), dtype=np.int32)
+_FIXED_COEFFS[1, :1] = [1]
+_FIXED_COEFFS[2, :2] = [2, -1]
+_FIXED_COEFFS[3, :3] = [3, -3, 1]
+_FIXED_COEFFS[4, :4] = [4, -6, 4, -1]
+
+
+@partial(jax.jit, static_argnames=("unroll",))
+def reconstruct(residuals, coeffs, shifts, orders, is_fixed, unroll: int = 8):
+    """Reconstruct samples from residuals for a batch of lanes.
+
+    Args:
+      residuals: [L, S] int32 (zero-padded beyond each lane's true length).
+      coeffs:    [L, MAX_ORDER] int32, zero-padded; coeffs[:, j] multiplies
+                 sample i-1-j.
+      shifts:    [L] int32 in [0, 15].
+      orders:    [L] int32 — warm-up length (LPC order / fixed order).
+      is_fixed:  [L] bool — lane uses a fixed predictor (ramp-up startup).
+
+    Returns: [L, S] int32 reconstructed samples.
+    """
+    L, S = residuals.shape
+    fixed_table = jnp.asarray(_FIXED_COEFFS)
+
+    def step(carry, xs):
+        r_i, i = xs
+        ramp_row = fixed_table[jnp.minimum(i, 4)]
+        use_ramp = i < orders
+        c_eff = jnp.where(
+            use_ramp[:, None],
+            jnp.where(is_fixed[:, None], ramp_row[None, :], jnp.int32(0)),
+            coeffs,
+        )
+        pred = predict_shift(c_eff, carry, shifts)
+        s = pred + r_i  # wrapping int32 add
+        new_carry = jnp.concatenate([s[:, None], carry[:, :-1]], axis=1)
+        return new_carry, s
+
+    carry0 = jnp.zeros((L, MAX_ORDER), dtype=jnp.int32)
+    xs = (residuals.T, jnp.arange(S, dtype=jnp.int32))
+    _, out = jax.lax.scan(step, carry0, xs, unroll=unroll)
+    return out.T
+
+
+@jax.jit
+def residuals_from_samples(samples, coeffs, shifts, orders, is_fixed):
+    """Inverse of :func:`reconstruct`: batched residual computation.
+
+    No sequential dependence: prediction at step i only reads the *original*
+    samples, so the 12-tap dot product is evaluated for every i in parallel
+    (lpc.rs:279-298 / fixed ramps lpc.rs:301-359).
+
+    Args/shapes as in :func:`reconstruct`; returns [L, S] int32 residuals.
+    """
+    L, S = samples.shape
+    # lagged[l, i, j] = samples[l, i-1-j] (zero for i-1-j < 0)
+    lagged = jnp.stack(
+        [jnp.pad(samples, ((0, 0), (j + 1, 0)))[:, :S] for j in range(MAX_ORDER)], axis=-1
+    )
+    fixed_table = jnp.asarray(_FIXED_COEFFS)
+    i_idx = jnp.arange(S, dtype=jnp.int32)
+    ramp_rows = fixed_table[jnp.minimum(i_idx, 4)]  # [S, MAX_ORDER]
+    use_ramp = i_idx[None, :] < orders[:, None]  # [L, S]
+    c_eff = jnp.where(
+        use_ramp[:, :, None],
+        jnp.where(is_fixed[:, None, None], ramp_rows[None, :, :], jnp.int32(0)),
+        coeffs[:, None, :],
+    )
+    pred = predict_shift(c_eff, lagged, shifts[:, None])
+    return samples - pred
+
+
+@jax.jit
+def autocorrelation(samples_f32, mask):
+    """Batched autocorrelation lags 0..MAX_ORDER in float32.
+
+    The reference computes integer autocorrelation in i64 (lpc.rs:213-221)
+    purely as input to a float64 Levinson recursion. Full-precision i64 is
+    unnecessary for that purpose (the chosen coefficients are stored in the
+    stream, so round-trip exactness never depends on them); float32 dot
+    products on the MXU are used instead, with masking for padded tails.
+
+    samples_f32: [L, S] float32 (i32 samples cast to f32), mask: [L, S].
+    Returns [L, MAX_ORDER+1] float32.
+    """
+    x = samples_f32 * mask
+    cols = []
+    S = x.shape[1]
+    for lag in range(MAX_ORDER + 1):
+        if lag == 0:
+            cols.append(jnp.sum(x * x, axis=1))
+        else:
+            cols.append(jnp.sum(x[:, lag:] * x[:, : S - lag], axis=1))
+    return jnp.stack(cols, axis=1)
+
+
+def levinson_durbin_all_orders(autocorr: np.ndarray, max_order: int):
+    """Vectorized (host, float64) Levinson-Durbin producing coefficients for
+    *every* order 1..max_order in one recursion.
+
+    Mirrors the numerical behavior of levinson_durbin_int (lpc.rs:225-276):
+    float64 recursion on autocorrelation, instability rejection when
+    |gamma| >= 1 or the error vanishes, then fixed-point quantization with
+    shift = min(floor(log2(2^30 / max|c|)), 15).
+
+    Args:
+      autocorr: [L, max_order+1] float64.
+      max_order: highest order to produce.
+
+    Returns:
+      coeffs_fp: [L, max_order, MAX_ORDER] int32 quantized coefficients where
+                 coeffs_fp[:, o-1] is the order-o predictor (zero-padded).
+      shifts:    [L, max_order] uint8.
+      valid:     [L, max_order] bool — False where the recursion bailed
+                 (matching the reference returning None).
+    """
+    ac = np.asarray(autocorr, dtype=np.float64)
+    L = ac.shape[0]
+    coeffs = np.zeros((L, max_order), dtype=np.float64)
+    out_c = np.zeros((L, max_order, MAX_ORDER), dtype=np.int32)
+    out_shift = np.zeros((L, max_order), dtype=np.uint8)
+    valid = np.zeros((L, max_order), dtype=bool)
+
+    error = ac[:, 0].copy()
+    alive = ac[:, 0] != 0.0
+
+    for i in range(max_order):
+        lam = ac[:, i + 1].copy()
+        for j in range(i):
+            lam -= coeffs[:, j] * ac[:, i - j]
+        dead = np.abs(error) < 1e-10
+        alive = alive & ~dead
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gamma = np.where(alive, lam / np.where(error == 0, 1.0, error), 0.0)
+        alive = alive & (np.abs(gamma) < 1.0)
+
+        new = coeffs.copy()
+        new[:, i] = gamma
+        for j in range(i):
+            new[:, j] = coeffs[:, j] - gamma * coeffs[:, i - 1 - j]
+        coeffs = np.where(alive[:, None], new, coeffs)
+        error = error * (1.0 - gamma * gamma)
+
+        order = i + 1
+        c_now = coeffs[:, :order]
+        max_c = np.abs(c_now).max(axis=1)
+        ok = alive & (max_c > 0) & np.isfinite(max_c)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            shift = np.floor(np.log2((1 << 30) / np.where(ok, max_c, 1.0)))
+        # Rust: `... as u8` saturates (negative -> 0, huge -> 255), then min(15).
+        shift_u8 = np.clip(shift, 0, 15).astype(np.uint8)
+        scale = np.ldexp(1.0, shift_u8.astype(np.int64))
+        # Rust f64::round = half away from zero; `as i32` saturates.
+        scaled = c_now * scale[:, None]
+        q = np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)
+        q = np.clip(q, -(2**31), 2**31 - 1)
+        out_c[:, i, :order] = np.where(ok[:, None], q, 0).astype(np.int64).astype(np.int32)
+        out_shift[:, i] = np.where(ok, shift_u8, 0)
+        valid[:, i] = ok
+
+    return out_c, out_shift, valid
