@@ -91,6 +91,59 @@ def predict_shift(c, s, shift):
     return limb_shift_right_i32(L3, L2, L1, L0, shift)
 
 
+def predict_shift_taps(samples, coeffs, shifts):
+    """Exact ``pred[..., i] = (Σ_j coeffs[..., j] * samples[..., i-1-j]) >> shift``
+    with zero-padded lags, without materializing a [..., S, T] lag tensor.
+
+    Tap-unrolled limb accumulation: identical arithmetic to
+    ``predict_shift(coeffs, lagged, shift)`` (the encoder's batched causal
+    prediction, lpc.rs:288-294) but each tap is a shifted view of ``samples``,
+    so peak memory stays at a few [..., S] int32 buffers.
+
+    samples: [..., S] int32; coeffs: [..., T] int32; shifts: [...] int or
+    broadcastable. Returns [..., S] int32 (wrapping, bit-exact vs i64>>shift).
+    """
+    s = samples.astype(jnp.int32)
+    S = s.shape[-1]
+    T = coeffs.shape[-1]
+    s1, s0 = s >> 15, s & _MASK15
+
+    def lag(x, j):
+        pad = [(0, 0)] * (x.ndim - 1) + [(j + 1, 0)]
+        return jnp.pad(x, pad)[..., :S]
+
+    zero = jnp.zeros_like(s)
+    SAhi = SAlo = SP1hi = SP1lo = SP2hi = SP2lo = SP0hi = SP0lo = zero
+    for j in range(T):
+        c = coeffs[..., j : j + 1].astype(jnp.int32)
+        c1, c0 = c >> 15, c & _MASK15
+        l1, l0 = lag(s1, j), lag(s0, j)
+        A = c1 * l1
+        P1 = c1 * l0
+        P2 = c0 * l1
+        P0 = c0 * l0
+        SAhi += A >> 15
+        SAlo += A & _MASK15
+        SP1hi += P1 >> 15
+        SP1lo += P1 & _MASK15
+        SP2hi += P2 >> 15
+        SP2lo += P2 & _MASK15
+        SP0hi += P0 >> 15
+        SP0lo += P0 & _MASK15
+
+    L3 = SAhi
+    L2 = SAlo + SP1hi + SP2hi
+    L1 = SP1lo + SP2lo + SP0hi
+    L0 = SP0lo
+    L1 = L1 + (L0 >> 15)
+    L0 = L0 & _MASK15
+    L2 = L2 + (L1 >> 15)
+    L1 = L1 & _MASK15
+    L3 = L3 + (L2 >> 15)
+    L2 = L2 & _MASK15
+    return limb_shift_right_i32(L3, L2, L1, L0, shifts)
+
+
 def div2_trunc(x):
     """Truncating division by 2 (Rust i32 `/ 2`), vs. Python's floor."""
     x = x.astype(jnp.int32)

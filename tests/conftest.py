@@ -1,16 +1,28 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Real-TPU benchmarking happens in bench.py; unit tests exercise the same jitted
-code paths on CPU so they are hermetic and can validate multi-device sharding
-(8 virtual devices via --xla_force_host_platform_device_count).
+code paths on CPU so they are hermetic and can validate multi-device sharding.
+
+Note: this environment's sitecustomize registers an 'axon' TPU backend and
+overrides jax_platforms at interpreter boot, so setting JAX_PLATFORMS in the
+environment is NOT enough — we must update jax.config after import (before
+any backend is initialized).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # older jax: XLA_FLAGS fallback above
 
 import pathlib
 
