@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Throughput benchmark: audio-seconds encoded+decoded per second per chip.
+
+Runs the full public-API pipelines (lossless encode/decode at level 5, lossy
+medium encode/decode) on synthetic 44.1 kHz stereo program material, on the
+default JAX platform (the real TPU chip when available), and reports ONE JSON
+line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+value = total audio-seconds processed (each encode and each decode of W
+seconds counts W) divided by wall time. vs_baseline is measured against the
+BASELINE.md north star of 1000x realtime per chip (the reference publishes no
+throughput numbers). Also verifies 100% bit-exact lossless round-trip on the
+reference Examples corpus and includes the rate in the JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+WORKLOAD_SECONDS = 60
+RATE = 44100
+CHANNELS = 2
+ITERS = 3
+NORTH_STAR = 1000.0
+
+
+def make_audio(seconds: int, rate: int) -> np.ndarray:
+    """Music-like deterministic stereo signal (tones + noise + envelope)."""
+    rng = np.random.default_rng(42)
+    t = np.arange(seconds * rate, dtype=np.float64) / rate
+    l = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 331 * t)
+        + 0.1 * np.sin(2 * np.pi * 553 * t)
+        + 0.03 * rng.standard_normal(t.size)
+    ) * (0.6 + 0.4 * np.sin(2 * np.pi * 0.25 * t))
+    r = (
+        0.4 * np.sin(2 * np.pi * 277 * t)
+        + 0.2 * np.sin(2 * np.pi * 415 * t)
+        + 0.03 * rng.standard_normal(t.size)
+    ) * (0.6 + 0.4 * np.cos(2 * np.pi * 0.21 * t))
+    out = np.empty(2 * t.size, dtype=np.float32)
+    out[0::2] = np.clip(l, -1, 1)
+    out[1::2] = np.clip(r, -1, 1)
+    return out
+
+
+def corpus_bit_exact() -> tuple[int, int]:
+    """Round-trip every lossless corpus file bit-exactly (i32 domain)."""
+    import flo_tpu
+    from flo_tpu.container import reader as _reader
+    from flo_tpu.core.convert import f32_to_i32_np
+    from flo_tpu.lossless import decoder as lldec
+
+    exdir = pathlib.Path("/root/reference/Examples")
+    if not exdir.is_dir():
+        return 0, 0
+    total = ok = 0
+    for p in sorted(exdir.glob("*.flo")):
+        flo = _reader.read(p.read_bytes())
+        if flo.header.is_lossy or any(f.frame_type == 253 for f in flo.frames):
+            continue
+        ref_i32 = lldec.decode_file_i32(flo)
+        if ref_i32.size == 0:
+            continue
+        total += 1
+        f32 = lldec.decode_file(flo)
+        enc = flo_tpu.encode(
+            f32, flo.header.sample_rate, flo.header.channels, analyze=False
+        )
+        got = lldec.decode_file_i32(_reader.read(enc))
+        # Contract: our decode->encode->decode reproduces the decoded signal's
+        # i32 samples exactly (f32->i32 of the decoded f32).
+        want = f32_to_i32_np(f32).reshape(-1, flo.header.channels)
+        if got.shape == want.shape and np.array_equal(got, want):
+            ok += 1
+    return ok, total
+
+
+def main() -> None:
+    import jax
+
+    t_setup = time.time()
+    import flo_tpu
+
+    platform = jax.devices()[0].platform
+    audio = make_audio(WORKLOAD_SECONDS, RATE)
+
+    # Warmup: compile all jit programs for these shapes.
+    data_ll = flo_tpu.encode(audio, RATE, CHANNELS, analyze=False)
+    out_ll = flo_tpu.decode(data_ll)
+    data_lo = flo_tpu.encode_lossy(audio, RATE, CHANNELS, 1, analyze=False)
+    out_lo = flo_tpu.decode(data_lo)
+    err = float(np.abs(out_ll - audio).max())
+    assert err <= 1 / 32768 + 1e-6, f"lossless round-trip broken: {err}"
+    setup_s = time.time() - t_setup
+
+    t0 = time.time()
+    for _ in range(ITERS):
+        d1 = flo_tpu.encode(audio, RATE, CHANNELS, analyze=False)
+        o1 = flo_tpu.decode(d1)
+        d2 = flo_tpu.encode_lossy(audio, RATE, CHANNELS, 1, analyze=False)
+        o2 = flo_tpu.decode(d2)
+    np.asarray(o1), np.asarray(o2)
+    wall = time.time() - t0
+
+    audio_seconds = ITERS * WORKLOAD_SECONDS * 4  # 2 encodes + 2 decodes
+    value = audio_seconds / wall
+
+    ok, total = corpus_bit_exact()
+    bit_exact = (ok / total) if total else None
+
+    result = {
+        "metric": "audio-seconds encoded+decoded/sec/chip (lossless+lossy)",
+        "value": round(value, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(value / NORTH_STAR, 4),
+        "platform": platform,
+        "workload": f"{WORKLOAD_SECONDS}s 44.1kHz stereo x{ITERS} iters x4 pipelines",
+        "lossless_ratio": round(len(audio) * 2 / len(data_ll), 2),
+        "lossy_ratio": round(len(audio) * 2 / len(data_lo), 2),
+        "corpus_bit_exact": f"{ok}/{total}" if total else "n/a",
+        "corpus_bit_exact_rate": bit_exact,
+        "setup_seconds": round(setup_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
