@@ -88,9 +88,8 @@ def encode(residuals: np.ndarray, k: int) -> bytes:
 
     nbits = (total_bits + 7) & ~7
     # Unary runs via difference array: +1 at run start, -1 at run end.
-    delta = np.zeros(nbits + 1, dtype=np.int8)
-    np.add.at(delta, starts, 1)
-    np.add.at(delta, starts + q, -1)
+    delta = np.bincount(starts, minlength=nbits + 1).astype(np.int32)
+    delta -= np.bincount(starts + q, minlength=nbits + 1)
     bits = np.cumsum(delta[:-1]).astype(np.uint8)
 
     if k > 0:
@@ -166,9 +165,15 @@ def encode_batch(residual_rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray)
     """Encode many streams: row i uses residual_rows[i, :lengths[i]] with
     parameter ks[i]. Returns the list of per-stream byte strings.
 
-    Fully vectorized across streams: one global bit buffer with byte-aligned
+    Dispatches to the C++ OpenMP packer (flo_tpu/native) when available;
+    otherwise fully vectorized numpy: one global bit buffer with byte-aligned
     stream boundaries, a single packbits, then slicing.
     """
+    from .. import native
+
+    out = native.rice_encode_batch(residual_rows, ks, lengths)
+    if out is not None:
+        return out
     n_streams = residual_rows.shape[0]
     if n_streams == 0:
         return []
@@ -196,10 +201,10 @@ def encode_batch(residual_rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray)
     starts = byte_off[:, None] * 8 + within
 
     nbits = total_bytes * 8
-    delta = np.zeros(nbits + 1, dtype=np.int32)
     vs, vq, vstart = (a[valid] for a in (np.broadcast_to(ks[:, None], q.shape), q, starts))
-    np.add.at(delta, vstart, 1)
-    np.add.at(delta, vstart + vq, -1)
+    # Unary runs via difference array (bincount is far faster than add.at).
+    delta = np.bincount(vstart, minlength=nbits + 1).astype(np.int32)
+    delta -= np.bincount(vstart + vq, minlength=nbits + 1)
     bits = np.cumsum(delta[:-1]).astype(np.uint8)
 
     kmax = int(ks.max(initial=0))
@@ -225,7 +230,14 @@ def encode_batch(residual_rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray)
 def decode_batch(
     blobs: list[bytes], ks: np.ndarray, lengths: np.ndarray, out_width: int
 ) -> np.ndarray:
-    """Decode many streams into a padded [n_streams, out_width] i32 array."""
+    """Decode many streams into a padded [n_streams, out_width] i32 array.
+
+    Dispatches to the C++ OpenMP unpacker (flo_tpu/native) when available."""
+    from .. import native
+
+    out = native.rice_decode_batch(blobs, ks, lengths, out_width)
+    if out is not None:
+        return out
     n = len(blobs)
     out = np.zeros((n, out_width), dtype=np.int32)
     for i in range(n):

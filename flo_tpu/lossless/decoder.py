@@ -96,8 +96,14 @@ def _marshal_lanes(flo: FloFile):
                 rows[lane, :m] = raw[:m]
             # else: silence -> zeros already.
 
-    for lane, blob, k, n in rice_jobs:
-        rows[lane, :n] = rice_host.decode(blob, k, n)
+    if rice_jobs:
+        job_lanes = np.array([j[0] for j in rice_jobs])
+        job_ks = np.array([j[2] for j in rice_jobs], dtype=np.int32)
+        job_ns = np.array([j[3] for j in rice_jobs], dtype=np.int64)
+        decoded = rice_host.decode_batch(
+            [j[1] for j in rice_jobs], job_ks, job_ns, S
+        )
+        rows[job_lanes] = decoded
 
     return rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths
 

@@ -1,0 +1,159 @@
+"""Fused lossless candidate search: one jitted program from lanes to winners.
+
+Computes, for every (lane, candidate): exact int32-limb residuals, selection
+aggregates, the exact Rice parameter (rice.rs:29-69 in pure int32), the
+encoded byte size at that k, then argmin selection in the reference's
+evaluation order (strict-<, encoder.rs:173-217) and the winning lane's
+residual stream — all inside a single XLA program, so it shards over a batch
+mesh with no host round-trips.
+
+Exactness notes (also see lossless/encoder.py):
+* Valid candidates have |r| < 2^22 (fixed: <= 16*65535 in the mid/side
+  domain; accepted LPC: <= 1e6), so the clamped split-limb sums and the
+  two-step integer mean are exact for every candidate that can win.
+* Bit length is computed with 24 integer comparisons — no float logs.
+* Unreachable pathology: a candidate whose every residual is i32::MIN would
+  be rejected here (max_abs < 0) where the reference would keep it with
+  k=15; real Levinson output cannot produce it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lpc
+from .intmath import predict_shift, predict_shift_taps
+
+_SUM_SPLIT = 11  # Σ|r| limb split; exact for S < 2^(31-11) samples per frame
+_ABS_CLAMP = 1 << 22  # above any valid candidate's |r|
+
+
+def residuals_one(lanes, nvalid, coeffs, shifts, orders, is_fixed):
+    """Masked residuals [L, S] for one candidate per lane.
+
+    Main region uses the stored coefficients; the <=12-sample warm-up prefix
+    is fixed up separately: LPC emits samples verbatim (lpc.rs:283-285), fixed
+    predictors ramp through orders 0..min(i,4) (lpc.rs:301-359).
+    """
+    L, S = lanes.shape
+    pred = predict_shift_taps(lanes, coeffs, shifts[:, None])
+    r = lanes - pred
+
+    P = min(lpc.MAX_ORDER, S)
+    prefix = lanes[:, :P]
+    lag_pref = jnp.stack(
+        [jnp.pad(prefix, ((0, 0), (j + 1, 0)))[:, :P] for j in range(lpc.MAX_ORDER)],
+        axis=-1,
+    )  # [L, P, 12]
+    fixed_table = jnp.asarray(lpc._FIXED_COEFFS)
+    i_idx = jnp.arange(P, dtype=jnp.int32)
+    ramp_rows = fixed_table[jnp.minimum(i_idx, 4)]  # [P, 12]
+    pred_ramp = predict_shift(ramp_rows[None, :, :], lag_pref, jnp.int32(0))
+    in_warmup = i_idx[None, :] < orders[:, None]
+    r_pref = jnp.where(
+        in_warmup,
+        jnp.where(is_fixed[:, None], prefix - pred_ramp, prefix),
+        r[:, :P],
+    )
+    r = jnp.concatenate([r_pref, r[:, P:]], axis=1)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid[:, None]
+    return jnp.where(valid, r, 0)
+
+
+def _bit_length(x):
+    """Exact integer bit length for x in [0, 2^24) (int32)."""
+    x = x.astype(jnp.int32)
+    bits = jnp.zeros_like(x)
+    for k in range(24):
+        bits = bits + (x >= (1 << k)).astype(jnp.int32)
+    return bits
+
+
+def rice_k_exact(max_abs, sum_hi, sum_lo, nvalid):
+    """rice.rs:29-69 in int32: k = clamp(max(min_k, mean_k), 0, 15)."""
+    n = jnp.maximum(nvalid, 1)
+    max_u2 = 2 * jnp.clip(max_abs, 0, _ABS_CLAMP)
+    min_k = jnp.where(max_u2 > 255, jnp.maximum(_bit_length(max_u2) - 8, 0), 0)
+
+    # Exact mean of the split-limb sum: total = hi*2^s + lo.
+    q1 = sum_hi // n
+    r1 = sum_hi - q1 * n
+    mean = q1 * (1 << _SUM_SPLIT) + ((r1 * (1 << _SUM_SPLIT) + sum_lo) // n)
+    mean_k = _bit_length(mean)
+
+    k = jnp.clip(jnp.maximum(min_k, mean_k), 0, 15)
+    return jnp.where(max_abs == 0, 0, k)
+
+
+def _zigzag_u32(r):
+    z = (r << 1) ^ (r >> 31)
+    return jax.lax.bitcast_convert_type(z, jnp.uint32)
+
+
+def candidate_size(r, nvalid):
+    """(max_abs, k, size_bytes) for one candidate's masked residuals [L, S].
+
+    max_abs wraps at i32::MIN exactly like Rust release `.abs()`; k is the
+    exact Rice estimate; size is the exact encoded byte count at k.
+    """
+    a_wrap = jnp.abs(r)
+    max_abs = jnp.max(a_wrap, axis=1)
+    a = jnp.minimum(a_wrap, _ABS_CLAMP)
+    a = jnp.where(a < 0, _ABS_CLAMP, a)
+    sum_hi = jnp.sum(a >> _SUM_SPLIT, axis=1, dtype=jnp.int32)
+    sum_lo = jnp.sum(a & ((1 << _SUM_SPLIT) - 1), axis=1, dtype=jnp.int32)
+    k = rice_k_exact(max_abs, sum_hi, sum_lo, nvalid)
+
+    u = _zigzag_u32(r)
+    q = jnp.minimum(u >> k[:, None].astype(jnp.uint32), jnp.uint32(255)).astype(jnp.int32)
+    qsum = jnp.sum(q, axis=1, dtype=jnp.int32)
+    bits = qsum + nvalid * (1 + k)
+    return max_abs, k, (bits + 7) >> 3
+
+
+@partial(jax.jit, static_argnames=("is_lpc",))
+def encode_select_step(
+    lanes, nvalid, coeffs_all, shifts_all, orders_all, fixed_all, cand_ok, is_lpc: tuple
+):
+    """Full candidate search on device.
+
+    Args: lanes [L, S] i32; nvalid [L]; candidate tables [L, NC, ...];
+    cand_ok [L, NC] host-known validity (Levinson success, n > order);
+    is_lpc: static per-candidate flags; candidate 0 MUST be the raw-PCM
+    baseline (its size is 2*nvalid; other table rows for it are ignored).
+
+    Returns (sel [L], k [L], size_bytes [L], residuals [L, S] for the
+    winner — raw winners' rows are their verbatim samples, since candidate 0
+    has zero coefficients/order).
+    """
+    NC = coeffs_all.shape[1]
+    L = lanes.shape[0]
+    lpc_mask = np.array(is_lpc, dtype=bool)
+
+    best_size = 2 * nvalid  # raw baseline (encoder.rs:183-190)
+    best_ci = jnp.zeros((L,), jnp.int32)
+    best_k = jnp.zeros((L,), jnp.int32)
+    for ci in range(1, NC):
+        r = residuals_one(
+            lanes, nvalid, coeffs_all[:, ci], shifts_all[:, ci],
+            orders_all[:, ci], fixed_all[:, ci],
+        )
+        max_abs, k, size = candidate_size(r, nvalid)
+        ok = cand_ok[:, ci]
+        if lpc_mask[ci]:
+            ok = ok & (max_abs >= 0) & (max_abs <= 1_000_000)  # encoder.rs:269-271
+        better = ok & (size < best_size)
+        best_size = jnp.where(better, size, best_size)
+        best_ci = jnp.where(better, ci, best_ci)
+        best_k = jnp.where(better, k, best_k)
+
+    take = lambda t: jnp.take_along_axis(t, best_ci[:, None], axis=1)[:, 0]
+    win_c = jnp.take_along_axis(coeffs_all, best_ci[:, None, None], axis=1)[:, 0]
+    residuals = residuals_one(
+        lanes, nvalid, win_c, take(shifts_all), take(orders_all), take(fixed_all)
+    )
+    return best_ci, best_k, best_size, residuals
