@@ -87,6 +87,14 @@ def corpus_bit_exact() -> tuple[int, int]:
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: remote-compile TPU paths take minutes per
+    # program; cache hits make warmup near-free on repeat runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     t_setup = time.time()
     import flo_tpu
 

@@ -129,27 +129,41 @@ def encode_select_step(
     Returns (sel [L], k [L], size_bytes [L], residuals [L, S] for the
     winner — raw winners' rows are their verbatim samples, since candidate 0
     has zero coefficients/order).
+
+    The candidate axis runs as a `lax.scan` (identical per-candidate body),
+    keeping the compiled graph one-candidate-sized — the Python-unrolled
+    version took minutes to compile through remote-compile TPU paths.
     """
     NC = coeffs_all.shape[1]
     L = lanes.shape[0]
-    lpc_mask = np.array(is_lpc, dtype=bool)
+    lpc_mask = jnp.asarray(np.array(is_lpc, dtype=bool))
 
-    best_size = 2 * nvalid  # raw baseline (encoder.rs:183-190)
-    best_ci = jnp.zeros((L,), jnp.int32)
-    best_k = jnp.zeros((L,), jnp.int32)
-    for ci in range(1, NC):
-        r = residuals_one(
-            lanes, nvalid, coeffs_all[:, ci], shifts_all[:, ci],
-            orders_all[:, ci], fixed_all[:, ci],
-        )
+    xs = (
+        jnp.moveaxis(coeffs_all, 1, 0),  # [NC, L, 12]
+        jnp.moveaxis(shifts_all, 1, 0),
+        jnp.moveaxis(orders_all, 1, 0),
+        jnp.moveaxis(fixed_all, 1, 0),
+        jnp.moveaxis(cand_ok, 1, 0),
+        lpc_mask,
+        jnp.arange(NC, dtype=jnp.int32),
+    )
+
+    def body(carry, x):
+        best_size, best_ci, best_k = carry
+        c, sh, od, fx, ok, islpc, ci = x
+        r = residuals_one(lanes, nvalid, c, sh, od, fx)
         max_abs, k, size = candidate_size(r, nvalid)
-        ok = cand_ok[:, ci]
-        if lpc_mask[ci]:
-            ok = ok & (max_abs >= 0) & (max_abs <= 1_000_000)  # encoder.rs:269-271
+        stable = (max_abs >= 0) & (max_abs <= 1_000_000)  # encoder.rs:269-271
+        ok = ok & jnp.where(islpc, stable, True) & (ci > 0)
         better = ok & (size < best_size)
-        best_size = jnp.where(better, size, best_size)
-        best_ci = jnp.where(better, ci, best_ci)
-        best_k = jnp.where(better, k, best_k)
+        return (
+            jnp.where(better, size, best_size),
+            jnp.where(better, ci, best_ci),
+            jnp.where(better, k, best_k),
+        ), None
+
+    init = (2 * nvalid, jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32))
+    (best_size, best_ci, best_k), _ = jax.lax.scan(body, init, xs)
 
     take = lambda t: jnp.take_along_axis(t, best_ci[:, None], axis=1)[:, 0]
     win_c = jnp.take_along_axis(coeffs_all, best_ci[:, None, None], axis=1)[:, 0]
