@@ -25,15 +25,16 @@ import time
 import numpy as np
 
 WORKLOAD_SECONDS = 60
+BATCH_FILES = 8
 RATE = 44100
 CHANNELS = 2
 ITERS = 3
 NORTH_STAR = 1000.0
 
 
-def make_audio(seconds: int, rate: int) -> np.ndarray:
+def make_audio(seconds: int, rate: int, seed: int = 42) -> np.ndarray:
     """Music-like deterministic stereo signal (tones + noise + envelope)."""
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     t = np.arange(seconds * rate, dtype=np.float64) / rate
     l = (
         0.4 * np.sin(2 * np.pi * 220 * t)
@@ -97,30 +98,40 @@ def main() -> None:
 
     t_setup = time.time()
     import flo_tpu
+    from flo_tpu.container import reader as _reader
+    from flo_tpu.lossless import decoder as lld
+    from flo_tpu.lossless import encoder as lle
+    from flo_tpu.lossy import decoder as lod
+    from flo_tpu.lossy import encoder as loe
+    from flo_tpu.lossy.presets import QUALITY_U8_TO_F32
 
     platform = jax.devices()[0].platform
-    audio = make_audio(WORKLOAD_SECONDS, RATE)
+    clips = [make_audio(WORKLOAD_SECONDS, RATE, seed=42 + i) for i in range(BATCH_FILES)]
+    q_med = QUALITY_U8_TO_F32[1]
+
+    def pass_once():
+        d_ll = lle.encode_many(clips, RATE, CHANNELS, 16, 5)
+        o_ll = lld.decode_many([_reader.read(d) for d in d_ll])
+        d_lo = loe.encode_many(clips, RATE, CHANNELS, q_med)
+        o_lo = lod.decode_many([_reader.read(d) for d in d_lo])
+        return d_ll, o_ll, d_lo, o_lo
 
     # Warmup: compile all jit programs for these shapes.
-    data_ll = flo_tpu.encode(audio, RATE, CHANNELS, analyze=False)
-    out_ll = flo_tpu.decode(data_ll)
-    data_lo = flo_tpu.encode_lossy(audio, RATE, CHANNELS, 1, analyze=False)
-    out_lo = flo_tpu.decode(data_lo)
-    err = float(np.abs(out_ll - audio).max())
+    data_ll, out_ll, data_lo, out_lo = pass_once()
+    err = float(np.abs(out_ll[0] - clips[0]).max())
     assert err <= 1 / 32768 + 1e-6, f"lossless round-trip broken: {err}"
     setup_s = time.time() - t_setup
 
     t0 = time.time()
     for _ in range(ITERS):
-        d1 = flo_tpu.encode(audio, RATE, CHANNELS, analyze=False)
-        o1 = flo_tpu.decode(d1)
-        d2 = flo_tpu.encode_lossy(audio, RATE, CHANNELS, 1, analyze=False)
-        o2 = flo_tpu.decode(d2)
-    np.asarray(o1), np.asarray(o2)
+        pass_once()
     wall = time.time() - t0
 
-    audio_seconds = ITERS * WORKLOAD_SECONDS * 4  # 2 encodes + 2 decodes
+    # 2 encodes + 2 decodes of every clip per iteration.
+    audio_seconds = ITERS * BATCH_FILES * WORKLOAD_SECONDS * 4
     value = audio_seconds / wall
+    data_ll, data_lo = data_ll[0], data_lo[0]
+    audio = clips[0]
 
     ok, total = corpus_bit_exact()
     bit_exact = (ok / total) if total else None
@@ -131,7 +142,10 @@ def main() -> None:
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / NORTH_STAR, 4),
         "platform": platform,
-        "workload": f"{WORKLOAD_SECONDS}s 44.1kHz stereo x{ITERS} iters x4 pipelines",
+        "workload": (
+            f"{BATCH_FILES}x{WORKLOAD_SECONDS}s 44.1kHz stereo x{ITERS} iters, "
+            "bulk lossless+lossy encode+decode"
+        ),
         "lossless_ratio": round(len(audio) * 2 / len(data_ll), 2),
         "lossy_ratio": round(len(audio) * 2 / len(data_lo), 2),
         "corpus_bit_exact": f"{ok}/{total}" if total else "n/a",

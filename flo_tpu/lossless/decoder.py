@@ -152,6 +152,59 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
+def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
+    """Bulk decode: every file's lanes in ONE reconstruction scan.
+
+    Files may have different lengths (rows padded to the batch max) but the
+    reconstruction itself is length-independent; mid/side undo + f32
+    conversion happen per file on the host (cheap vectorized ops).
+    """
+    marshaled = [(_marshal_lanes(f), f.header.channels) for f in flos]
+    live = [(i, m, c) for i, (m, c) in enumerate(marshaled) if m is not None]
+    outs: list[np.ndarray] = [np.zeros(0, dtype=np.float32)] * len(flos)
+    if not live:
+        return outs
+    S_max = max(m[6] for _, m, _ in live)
+    rows = np.zeros((sum(m[0].shape[0] for _, m, _ in live), S_max), dtype=np.int32)
+    coeffs = np.zeros((rows.shape[0], lpc.MAX_ORDER), np.int32)
+    shifts = np.zeros(rows.shape[0], np.int32)
+    orders = np.zeros(rows.shape[0], np.int32)
+    is_fixed = np.zeros(rows.shape[0], bool)
+    off = 0
+    for _, m, _ in live:
+        r = m[0]
+        rows[off : off + r.shape[0], : r.shape[1]] = r
+        coeffs[off : off + r.shape[0]] = m[1]
+        shifts[off : off + r.shape[0]] = m[2]
+        orders[off : off + r.shape[0]] = m[3]
+        is_fixed[off : off + r.shape[0]] = m[4]
+        off += r.shape[0]
+
+    samples = np.asarray(lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed))
+
+    off = 0
+    for i, m, channels in live:
+        L = m[0].shape[0]
+        mid_side, S, frame_lengths = m[5], m[6], m[7]
+        fcs = samples[off : off + L, :S].reshape(-1, channels, S)
+        off += L
+        if channels == 2:
+            mm, ss = fcs[:, 0].astype(np.int64), fcs[:, 1].astype(np.int64)
+
+            def trunc_div2(t):
+                return t // 2 + ((t < 0) & (t % 2 != 0))
+
+            left = np.where(mid_side[:, None], trunc_div2(mm + ss), mm)
+            right = np.where(mid_side[:, None], trunc_div2(mm - ss), ss)
+            fcs = np.stack([left, right], axis=1).astype(np.int32)
+        parts = [fcs[j, :, : frame_lengths[j]].T for j in range(fcs.shape[0])]
+        ints = np.concatenate(parts, axis=0)
+        from ..core.convert import i32_to_f32_np
+
+        outs[i] = i32_to_f32_np(ints).reshape(-1)
+    return outs
+
+
 def decode_file_i32(flo: FloFile) -> np.ndarray:
     """Integer-domain decode: [total_samples, channels] int32 (pre mid/side
     conversion applied, i.e. true L/R). Used by bit-exactness tests."""

@@ -85,51 +85,82 @@ def _autocorr_int_exact(lanes: np.ndarray, nvalid: np.ndarray, max_order: int) -
     return np.stack(cols, axis=1)
 
 
-def encode_to_frames(
-    samples: np.ndarray,
+def encode_many_to_frames(
+    samples_list,
     sample_rate: int,
     channels: int,
     compression_level: int = 5,
-) -> List[Frame]:
-    """Encode interleaved f32 samples into a list of container frames."""
-    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+) -> List[List[Frame]]:
+    """Encode MANY files (same rate/channels) in one batched pass.
+
+    All files' (frame, channel) lanes are concatenated into a single device
+    candidate-search call and a single host Rice-packing call — the bulk
+    throughput path (batch parallelism is the workload's parallelism story,
+    SURVEY.md §2.9). Returns one frame list per input file.
+    """
     C = int(channels)
     spf = int(sample_rate)
     if spf >= (1 << 18):
         raise ValueError("sample_rate too large for exact device aggregation")
-    total = len(samples) // C
-    num_frames = -(-total // spf) if total else 0
-    if num_frames == 0:
-        return []
 
     kinds, cand_orders, max_order = _candidate_plan(compression_level)
     NC = len(kinds)
 
-    padded = np.zeros(num_frames * spf * C, dtype=np.float32)
-    padded[: total * C] = samples[: total * C]
-    fsc = padded.reshape(num_frames, spf, C)
+    per_file = []  # (num_frames, frame_samples, silent, fsc)
+    for samples in samples_list:
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        total = len(samples) // C
+        num_frames = -(-total // spf) if total else 0
+        if num_frames == 0:
+            per_file.append((0, np.zeros(0, np.int64), np.zeros(0, bool), None))
+            continue
+        padded = np.zeros(num_frames * spf * C, dtype=np.float32)
+        padded[: total * C] = samples[: total * C]
+        fsc = padded.reshape(num_frames, spf, C)
+        frame_samples = np.full(num_frames, spf, dtype=np.int64)
+        frame_samples[-1] = total - (num_frames - 1) * spf
+        silent = (np.abs(fsc) < SILENCE_THRESHOLD).all(axis=(1, 2))
+        per_file.append((num_frames, frame_samples, silent, fsc))
 
-    frame_samples = np.full(num_frames, spf, dtype=np.int64)
-    frame_samples[-1] = total - (num_frames - 1) * spf
+    all_frames: List[List[Frame]] = []
+    active_fsc = []
+    active_nvalid = []
+    active_slots = []  # (file_idx, frame_idx)
+    for fidx, (num_frames, frame_samples, silent, fsc) in enumerate(per_file):
+        frames: List[Frame] = [None] * num_frames  # type: ignore[list-item]
+        for fi in np.flatnonzero(silent):
+            frames[fi] = Frame(
+                frame_type=int(FrameType.SILENCE),
+                frame_samples=int(frame_samples[fi]),
+                channels=[ChannelData.silence() for _ in range(C)],
+            )
+        all_frames.append(frames)
+        for fi in np.flatnonzero(~silent):
+            active_fsc.append(fsc[fi])
+            active_nvalid.append(frame_samples[fi])
+            active_slots.append((fidx, int(fi)))
+    if not active_slots:
+        return all_frames
 
-    # Silence detection over valid samples only; zero padding is silent anyway.
-    silent = (np.abs(fsc) < SILENCE_THRESHOLD).all(axis=(1, 2))
+    fsc_batch = np.stack(active_fsc)  # [F', S, C]
+    nvalid_f = np.asarray(active_nvalid, dtype=np.int64)
 
-    active = np.flatnonzero(~silent)
-    frames: List[Frame] = [None] * num_frames  # type: ignore[list-item]
-    for fi in np.flatnonzero(silent):
-        frames[fi] = Frame(
-            frame_type=int(FrameType.SILENCE),
-            frame_samples=int(frame_samples[fi]),
-            channels=[ChannelData.silence() for _ in range(C)],
-        )
-    if len(active) == 0:
-        return frames
+    frames_out = _encode_active_frames(
+        fsc_batch, nvalid_f, C, kinds, cand_orders, max_order
+    )
+    for (fidx, fi), frame in zip(active_slots, frames_out):
+        all_frames[fidx][fi] = frame
+    return all_frames
 
-    ints = f32_to_i32_np(fsc[active])  # [F', S, C]
+
+def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
+    """Encode a batch of non-silent frames [F', S, C] -> list of Frames."""
+    NC = len(kinds)
+    spf = fsc.shape[1]
+    ints = f32_to_i32_np(fsc)  # [F', S, C]
     ch = np.moveaxis(ints, 2, 1).astype(np.float64)  # [F', C, S] (f64-exact)
-    Fa = len(active)
-    nvalid_f = frame_samples[active]
+    Fa = fsc.shape[0]
+    nvalid_f = frame_samples
 
     mid_side = np.zeros(Fa, dtype=bool)
     if C == 2:
@@ -195,8 +226,9 @@ def encode_to_frames(
         )
         blobs = dict(zip(rice_rows.tolist(), packed))
 
-    for idx, fi in enumerate(active):
-        n = int(frame_samples[fi])
+    frames_out: List[Frame] = []
+    for idx in range(Fa):
+        n = int(frame_samples[idx])
         chans = []
         all_raw = True
         for c in range(C):
@@ -231,13 +263,43 @@ def encode_to_frames(
                         )
                     )
         ftype = FrameType.RAW if all_raw else FrameType.from_order(max_order)
-        frames[fi] = Frame(
-            frame_type=int(ftype),
-            frame_samples=n,
-            flags=FRAME_FLAG_MID_SIDE if mid_side[idx] else 0,
-            channels=chans,
+        frames_out.append(
+            Frame(
+                frame_type=int(ftype),
+                frame_samples=n,
+                flags=FRAME_FLAG_MID_SIDE if mid_side[idx] else 0,
+                channels=chans,
+            )
         )
-    return frames
+    return frames_out
+
+
+def encode_to_frames(
+    samples: np.ndarray,
+    sample_rate: int,
+    channels: int,
+    compression_level: int = 5,
+) -> List[Frame]:
+    """Encode interleaved f32 samples into a list of container frames."""
+    return encode_many_to_frames([samples], sample_rate, channels, compression_level)[0]
+
+
+def encode_many(
+    samples_list,
+    sample_rate: int,
+    channels: int,
+    bit_depth: int = 16,
+    compression_level: int = 5,
+    metadata_list=None,
+) -> List[bytes]:
+    """Bulk encode: many files, one device pass, one Rice-pack pass."""
+    level = min(int(compression_level), 9)
+    frames_per_file = encode_many_to_frames(samples_list, sample_rate, channels, level)
+    metas = metadata_list or [b""] * len(frames_per_file)
+    return [
+        writer.write(int(sample_rate), int(channels), int(bit_depth), level, frames, meta)
+        for frames, meta in zip(frames_per_file, metas)
+    ]
 
 
 def encode(

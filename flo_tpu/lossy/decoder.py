@@ -57,17 +57,18 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
 def _decode_blocks(q, sf, sample_rate: int, n: int):
-    """q [T, C, n2] i16, sf [T, C, 25] -> interleaved segments [T, n2, C].
+    """q [..., T, C, n2] i16, sf [..., T, C, 25] -> segments [..., T, n2, C].
 
     Dequantize (decoder.rs:38-45: c = q / sf[band] when sf > 0), batched
-    IMDCT, stateless overlap-add over T.
+    IMDCT, stateless overlap-add over T. Leading axes (e.g. a file batch)
+    broadcast through.
     """
     _, band, _, _, _ = psycho.model_tables(sample_rate, n)
-    sf_bin = sf[..., band]  # [T, C, n2]
+    sf_bin = sf[..., band]  # [..., T, C, n2]
     coeffs = jnp.where(sf_bin > 0, q.astype(jnp.float32) / jnp.maximum(sf_bin, 1e-30), 0.0)
-    recon = mdct.inverse(coeffs, n, "vorbis")  # [T, C, n]
-    segs = mdct.overlap_add(jnp.moveaxis(recon, 0, -2))  # [C, T, n2]
-    return jnp.transpose(segs, (1, 2, 0))  # [T, n2, C]
+    recon = mdct.inverse(coeffs, n, "vorbis")  # [..., T, C, n]
+    segs = mdct.overlap_add(jnp.moveaxis(recon, -3, -2))  # [..., C, T, n2]
+    return jnp.moveaxis(segs, -3, -1)  # [..., T, n2, C]
 
 
 def decode_file(flo: FloFile) -> np.ndarray:
@@ -92,3 +93,38 @@ def decode_file(flo: FloFile) -> np.ndarray:
 
 def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
+
+
+def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
+    """Bulk decode: all files' blocks in one device call (T padded to the
+    batch max; every file must share sample_rate/block size/channels)."""
+    parsed_files = []
+    for flo in flos:
+        parsed = []
+        for f in flo.frames:
+            if not f.channels:
+                continue
+            p = deserialize_frame(f.channels[0].residuals)
+            if p is None:
+                raise ValueError("Failed to deserialize transform frame")
+            parsed.append(p)
+        parsed_files.append(parsed)
+    if not parsed_files or all(not p for p in parsed_files):
+        return [np.zeros(0, dtype=np.float32) for _ in flos]
+    n = next(p[0][0] for p in parsed_files if p)
+    C = next(p[0][2].shape[0] for p in parsed_files if p)
+    rate = flos[0].header.sample_rate
+    t_max = max(len(p) for p in parsed_files)
+    N = len(parsed_files)
+    q = np.zeros((N, t_max, C, n // 2), dtype=np.int16)
+    sf = np.zeros((N, t_max, C, psycho.NUM_BARK_BANDS), dtype=np.float32)
+    for i, parsed in enumerate(parsed_files):
+        for t, (nn, s, qq) in enumerate(parsed):
+            if nn != n or qq.shape[0] != C or flos[i].header.sample_rate != rate:
+                raise ValueError("decode_many requires homogeneous files")
+            sf[i, t] = s
+            q[i, t] = qq
+    segs = np.asarray(_decode_blocks(jnp.asarray(q), jnp.asarray(sf), int(rate), n))
+    return [
+        segs[i, 1 : len(parsed_files[i])].reshape(-1) for i in range(N)
+    ]  # drop each file's pre-roll frame

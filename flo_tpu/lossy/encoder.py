@@ -69,32 +69,23 @@ def encode_sf_u16(sf: np.ndarray) -> np.ndarray:
     return np.where(sf > 1e-10, out, np.uint16(0))
 
 
-def encode_to_frames(
-    samples: np.ndarray, sample_rate: int, channels: int, quality: float
-) -> list[Frame]:
-    """Blocked MDCT encode (encoder.rs:167-239): 1024-sample pre-roll, pad to
-    (num_hops+1)*1024, one Transform frame of 1024 samples per hop, each frame
-    a single serialized blob pseudo-channel."""
+def _file_blocks(samples: np.ndarray, channels: int):
+    """[C, T, 2048] overlapping blocks per encoder.rs:167-239 framing."""
     samples = np.asarray(samples, dtype=np.float32).reshape(-1)
     C = int(channels)
     n = len(samples) // C
     total = n + HOP
     num_hops = -(-total // HOP)
     padded_len = (num_hops + 1) * HOP
-
     padded = np.zeros((C, padded_len), dtype=np.float32)
     deint = samples[: n * C].reshape(n, C).T if n else np.zeros((C, 0), np.float32)
     usable = min(n, padded_len - HOP)
     padded[:, HOP : HOP + usable] = deint[:, :usable]
-
-    # [C, T, 2048] overlapping blocks, hop 1024.
     blocks = np.lib.stride_tricks.sliding_window_view(padded, BLOCK, axis=1)[:, ::HOP]
-    blocks = np.ascontiguousarray(blocks[:, :num_hops])
+    return np.ascontiguousarray(blocks[:, :num_hops]), num_hops
 
-    q, sf = _encode_blocks(jnp.asarray(blocks), int(sample_rate), smr_threshold(quality))
-    q = np.asarray(q)
-    sf_u16 = encode_sf_u16(np.asarray(sf))
 
+def _assemble_frames(q: np.ndarray, sf_u16: np.ndarray, C: int, num_hops: int) -> list[Frame]:
     frames = []
     for t in range(num_hops):
         blob = bytearray([0, C])  # Long block marker + channel count
@@ -112,6 +103,61 @@ def encode_to_frames(
             )
         )
     return frames
+
+
+def encode_many_to_frames(
+    samples_list, sample_rate: int, channels: int, quality: float
+) -> list[list[Frame]]:
+    """Bulk blocked MDCT encode: all files' channel lanes stacked into one
+    device call (hop counts padded to the batch max; padding blocks are
+    all-zero and their frames are never emitted)."""
+    C = int(channels)
+    per_file = [_file_blocks(s, C) for s in samples_list]
+    t_max = max((nh for _, nh in per_file), default=0)
+    if t_max == 0:
+        return [[] for _ in samples_list]
+    stacked = np.zeros((len(per_file) * C, t_max, BLOCK), dtype=np.float32)
+    for i, (blocks, nh) in enumerate(per_file):
+        stacked[i * C : (i + 1) * C, :nh] = blocks
+
+    q, sf = _encode_blocks(jnp.asarray(stacked), int(sample_rate), smr_threshold(quality))
+    q = np.asarray(q)
+    sf_u16 = encode_sf_u16(np.asarray(sf))
+
+    out = []
+    for i, (_, nh) in enumerate(per_file):
+        out.append(_assemble_frames(q[i * C : (i + 1) * C], sf_u16[i * C : (i + 1) * C], C, nh))
+    return out
+
+
+def encode_to_frames(
+    samples: np.ndarray, sample_rate: int, channels: int, quality: float
+) -> list[Frame]:
+    """Blocked MDCT encode (encoder.rs:167-239): 1024-sample pre-roll, pad to
+    (num_hops+1)*1024, one Transform frame of 1024 samples per hop, each frame
+    a single serialized blob pseudo-channel."""
+    return encode_many_to_frames([samples], sample_rate, channels, quality)[0]
+
+
+def encode_many(
+    samples_list,
+    sample_rate: int,
+    channels: int,
+    quality: float,
+    metadata_list=None,
+    bit_depth: int = 16,
+) -> list[bytes]:
+    """Bulk lossy encode: one device pass for every file."""
+    frames_per_file = encode_many_to_frames(samples_list, sample_rate, channels, quality)
+    q_u8 = min(int(round(min(max(float(quality), 0.0), 1.0) * 4.0)), 4)
+    metas = metadata_list or [b""] * len(frames_per_file)
+    return [
+        writer.write(
+            int(sample_rate), int(channels), int(bit_depth), 5, frames, meta,
+            lossy=True, lossy_quality=q_u8,
+        )
+        for frames, meta in zip(frames_per_file, metas)
+    ]
 
 
 def encode(

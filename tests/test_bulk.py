@@ -1,0 +1,73 @@
+"""Bulk (multi-file) encode paths: one device pass for a whole corpus."""
+
+import numpy as np
+import pytest
+
+from flo_tpu.container import reader
+from flo_tpu.core.convert import f32_to_i32_np
+from flo_tpu.lossless import decoder as lld
+from flo_tpu.lossless import encoder as lle
+from flo_tpu.lossy import decoder as lod
+from flo_tpu.lossy import encoder as loe
+
+
+@pytest.fixture(scope="module")
+def files():
+    rng = np.random.default_rng(0)
+    rate = 4000
+    out = []
+    for i in range(3):
+        n = rate * (i + 1) + i * 7
+        t = np.arange(n) / rate
+        l = (0.4 * np.sin(2 * np.pi * (100 + 40 * i) * t)
+             + 0.005 * rng.standard_normal(n)).astype(np.float32)
+        r = (0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)).astype(np.float32)
+        s = np.empty(2 * n, np.float32)
+        s[0::2], s[1::2] = l, r
+        out.append(np.clip(s, -1, 1))
+    return rate, out
+
+
+class TestBulkLossless:
+    def test_bulk_equals_single_byte_identical(self, files):
+        rate, fs = files
+        bulk = lle.encode_many(fs, rate, 2, 16, 5)
+        for i, s in enumerate(fs):
+            assert bulk[i] == lle.encode(s, rate, 2, 16, 5)
+
+    def test_bulk_bit_exact(self, files):
+        rate, fs = files
+        bulk = lle.encode_many(fs, rate, 2, 16, 8)
+        for i, s in enumerate(fs):
+            got = lld.decode_file_i32(reader.read(bulk[i]))
+            np.testing.assert_array_equal(got, f32_to_i32_np(s).reshape(-1, 2))
+
+    def test_bulk_with_silence_and_empty(self, files):
+        rate, fs = files
+        mixed = [np.zeros(rate, np.float32).repeat(2), fs[0], np.zeros(0, np.float32)]
+        out = lle.encode_many(mixed, rate, 2, 16, 5)
+        f0 = reader.read(out[0])
+        assert all(fr.frame_type == 0 for fr in f0.frames)
+        assert reader.read(out[2]).header.total_samples == 0
+
+
+class TestBulkLossy:
+    def test_bulk_sizes_match_single(self, files):
+        rate, fs = files
+        bulk = loe.encode_many(fs, rate, 2, 0.55)
+        for i, s in enumerate(fs):
+            single = loe.encode(s, rate, 2, 0.55)
+            # f32 batch rounding may flip ulps; sizes and fidelity must agree.
+            assert abs(len(bulk[i]) - len(single)) <= 0.01 * len(single)
+            a, b = lod.decode(bulk[i]), lod.decode(single)
+            m = min(len(a), len(b))
+            assert np.abs(a[:m] - b[:m]).max() < 1e-5
+
+    def test_bulk_snr(self, files):
+        rate, fs = files
+        bulk = loe.encode_many(fs, rate, 2, 1.0)
+        for s, data in zip(fs, bulk):
+            out = lod.decode(data)
+            m = min(len(out), len(s))
+            snr = 10 * np.log10((s[:m] ** 2).sum() / max(((out[:m] - s[:m]) ** 2).sum(), 1e-30))
+            assert snr > 25

