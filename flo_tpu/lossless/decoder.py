@@ -152,56 +152,96 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
+@partial(jax.jit, static_argnames=("channels",))
+def _decode_lanes_i16(rows16, mis_rows, mis_idx, coeffs, shifts, orders, is_fixed,
+                      mid_side, channels: int):
+    """Transport-optimized decode step: i16 rows in (plus a sparse i32 misfit
+    scatter), i16 true-L/R samples out (valid streams always fit i16 after
+    mid/side undo), with per-frame fits flags and the device-resident i32
+    tensor for the rare refetch."""
+    rows = rows16.astype(jnp.int32).at[mis_idx].set(mis_rows, mode="drop")
+    samples = lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed)
+    S = samples.shape[1]
+    fcs = samples.reshape(-1, channels, S)
+    if channels == 2:
+        m, s = fcs[:, 0], fcs[:, 1]
+        left = div2_trunc(m + s)
+        right = div2_trunc(m - s)
+        ms = mid_side[:, None]
+        fcs = jnp.stack([jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1)
+    fmin = jnp.min(fcs, axis=(1, 2))
+    fmax = jnp.max(fcs, axis=(1, 2))
+    fits = (fmin >= -32768) & (fmax <= 32767)
+    return fcs.astype(jnp.int16), fits, fcs
+
+
 def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
-    """Bulk decode: every file's lanes in ONE reconstruction scan.
+    """Bulk decode: every file's lanes in one reconstruction scan per channel
+    count, with i16 transport in both directions (see _decode_lanes_i16)."""
+    from ..core.convert import i32_to_f32_np
+    from ..ops.select import gather_rows
 
-    Files may have different lengths (rows padded to the batch max) but the
-    reconstruction itself is length-independent; mid/side undo + f32
-    conversion happen per file on the host (cheap vectorized ops).
-    """
     marshaled = [(_marshal_lanes(f), f.header.channels) for f in flos]
-    live = [(i, m, c) for i, (m, c) in enumerate(marshaled) if m is not None]
     outs: list[np.ndarray] = [np.zeros(0, dtype=np.float32)] * len(flos)
-    if not live:
-        return outs
-    S_max = max(m[6] for _, m, _ in live)
-    rows = np.zeros((sum(m[0].shape[0] for _, m, _ in live), S_max), dtype=np.int32)
-    coeffs = np.zeros((rows.shape[0], lpc.MAX_ORDER), np.int32)
-    shifts = np.zeros(rows.shape[0], np.int32)
-    orders = np.zeros(rows.shape[0], np.int32)
-    is_fixed = np.zeros(rows.shape[0], bool)
-    off = 0
-    for _, m, _ in live:
-        r = m[0]
-        rows[off : off + r.shape[0], : r.shape[1]] = r
-        coeffs[off : off + r.shape[0]] = m[1]
-        shifts[off : off + r.shape[0]] = m[2]
-        orders[off : off + r.shape[0]] = m[3]
-        is_fixed[off : off + r.shape[0]] = m[4]
-        off += r.shape[0]
+    by_channels: dict[int, list] = {}
+    for i, (m, c) in enumerate(marshaled):
+        if m is not None:
+            by_channels.setdefault(c, []).append((i, m))
 
-    samples = np.asarray(lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed))
+    for channels, group in by_channels.items():
+        S_max = max(m[6] for _, m in group)
+        L_tot = sum(m[0].shape[0] for _, m in group)
+        rows = np.zeros((L_tot, S_max), dtype=np.int32)
+        coeffs = np.zeros((L_tot, lpc.MAX_ORDER), np.int32)
+        shifts = np.zeros(L_tot, np.int32)
+        orders = np.zeros(L_tot, np.int32)
+        is_fixed = np.zeros(L_tot, bool)
+        mid_side_all = []
+        off = 0
+        for _, m in group:
+            r = m[0]
+            rows[off : off + r.shape[0], : r.shape[1]] = r
+            coeffs[off : off + r.shape[0]] = m[1]
+            shifts[off : off + r.shape[0]] = m[2]
+            orders[off : off + r.shape[0]] = m[3]
+            is_fixed[off : off + r.shape[0]] = m[4]
+            mid_side_all.append(m[5])
+            off += r.shape[0]
+        mid_side = np.concatenate(mid_side_all)
 
-    off = 0
-    for i, m, channels in live:
-        L = m[0].shape[0]
-        mid_side, S, frame_lengths = m[5], m[6], m[7]
-        fcs = samples[off : off + L, :S].reshape(-1, channels, S)
-        off += L
-        if channels == 2:
-            mm, ss = fcs[:, 0].astype(np.int64), fcs[:, 1].astype(np.int64)
+        # i16 upload + sparse i32 misfit scatter (power-of-two padded).
+        rows16 = rows.astype(np.int16)
+        mis = np.flatnonzero((rows > 32767).any(axis=1) | (rows < -32768).any(axis=1))
+        pad = 1 << max(len(mis) - 1, 0).bit_length()
+        # Padding uses an out-of-bounds index: mode="drop" discards it
+        # (negative indices would WRAP and corrupt the last row).
+        mis_idx = np.full(pad, L_tot, np.int32)
+        mis_idx[: len(mis)] = mis
+        mis_rows = np.zeros((pad, S_max), np.int32)
+        mis_rows[: len(mis)] = rows[mis]
 
-            def trunc_div2(t):
-                return t // 2 + ((t < 0) & (t % 2 != 0))
+        out16_d, fits_d, fcs_dev = _decode_lanes_i16(
+            jnp.asarray(rows16), jnp.asarray(mis_rows), jnp.asarray(mis_idx),
+            jnp.asarray(coeffs), jnp.asarray(shifts), jnp.asarray(orders),
+            jnp.asarray(is_fixed), jnp.asarray(mid_side), channels,
+        )
+        fcs_all = np.asarray(out16_d).astype(np.int32)  # [F_tot, C, S_max]
+        bad = np.flatnonzero(~np.asarray(fits_d))
+        if len(bad):
+            padb = 1 << max(len(bad) - 1, 0).bit_length()
+            idx_p = np.zeros(padb, np.int32)
+            idx_p[: len(bad)] = bad
+            fcs_all[bad] = np.asarray(gather_rows(fcs_dev, jnp.asarray(idx_p)))[: len(bad)]
 
-            left = np.where(mid_side[:, None], trunc_div2(mm + ss), mm)
-            right = np.where(mid_side[:, None], trunc_div2(mm - ss), ss)
-            fcs = np.stack([left, right], axis=1).astype(np.int32)
-        parts = [fcs[j, :, : frame_lengths[j]].T for j in range(fcs.shape[0])]
-        ints = np.concatenate(parts, axis=0)
-        from ..core.convert import i32_to_f32_np
-
-        outs[i] = i32_to_f32_np(ints).reshape(-1)
+        foff = 0
+        for i, m in group:
+            n_frames = m[0].shape[0] // channels
+            S, frame_lengths = m[6], m[7]
+            fcs = fcs_all[foff : foff + n_frames, :, :S]
+            foff += n_frames
+            parts = [fcs[j, :, : frame_lengths[j]].T for j in range(n_frames)]
+            ints = np.concatenate(parts, axis=0)
+            outs[i] = i32_to_f32_np(ints).reshape(-1)
     return outs
 
 

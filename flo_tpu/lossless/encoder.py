@@ -48,7 +48,18 @@ from ..core.constants import (
 from ..core.convert import f32_to_i32_np
 from ..core.types import ChannelData, Frame
 from ..ops import lpc
-from ..ops.select import encode_select_step
+from ..ops.select import encode_select_pcm16, encode_select_step, gather_rows
+
+
+def _fetch_rows(dev_arr, idx: np.ndarray) -> np.ndarray:
+    """Gather misfit rows with a power-of-two-padded index (stable jit shape)."""
+    m = len(idx)
+    pad = 1 << max(m - 1, 0).bit_length()
+    idx_p = np.zeros(pad, np.int32)
+    idx_p[:m] = idx
+    import jax.numpy as _jnp
+
+    return np.asarray(gather_rows(dev_arr, _jnp.asarray(idx_p)))[:m]
 
 
 def _candidate_plan(compression_level: int):
@@ -200,9 +211,13 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
             cand_ok[:, ci] = lpc_valid[:, o - 1] & (nvalid > o)
 
     is_lpc = tuple(kd == "lpc" for kd in kinds)
-    sel_d, k_d, _, residuals_d = encode_select_step(
-        jnp.asarray(lanes),
-        jnp.asarray(nvalid),
+    # i16 transport both ways (see ops/select.py encode_select_pcm16); pcm is
+    # i16-representable by construction (f32_to_i32 clamps to [-32768, 32767]).
+    pcm16 = np.moveaxis(ints, 2, 1).astype(np.int16)
+    sel_d, k_d, _, r16_d, fits_d, res32_dev = encode_select_pcm16(
+        jnp.asarray(pcm16),
+        jnp.asarray(mid_side),
+        jnp.asarray(nvalid_f.astype(np.int32)),
         jnp.asarray(coeffs_all),
         jnp.asarray(shifts_all),
         jnp.asarray(orders_all),
@@ -212,7 +227,10 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
     )
     sel = np.asarray(sel_d)
     ks = np.asarray(k_d)
-    residuals = np.asarray(residuals_d)
+    residuals = np.asarray(r16_d).astype(np.int32)
+    misfits = np.flatnonzero(~np.asarray(fits_d))
+    if len(misfits):
+        residuals[misfits] = _fetch_rows(res32_dev, misfits)
 
     win_coeffs = coeffs_all[np.arange(L), sel]
     win_shifts = shifts_all[np.arange(L), sel]

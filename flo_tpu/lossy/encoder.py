@@ -48,6 +48,10 @@ def _encode_blocks(blocks, sample_rate: int, thr: float):
     _, band, onehot, _, _ = psycho.model_tables(sample_rate, BLOCK)
 
     coeffs = mdct.forward(blocks, BLOCK, WINDOW)  # [C, T, 1024]
+    return _quantize_coeffs(coeffs, band, onehot, sample_rate, thr)
+
+
+def _quantize_coeffs(coeffs, band, onehot, sample_rate, thr):
     smr = psycho.smr(coeffs, sample_rate, BLOCK)
 
     mag = jnp.abs(coeffs)
@@ -61,6 +65,22 @@ def _encode_blocks(blocks, sample_rate: int, thr: float):
     return q, sf
 
 
+@partial(jax.jit, static_argnames=("sample_rate", "thr"))
+def _encode_padded(padded, sample_rate: int, thr: float):
+    """padded [C, (T+1)*1024] f32 signal -> (q [C, T, 1024], sf [C, T, 25]).
+
+    Builds the 50%-overlap block view ON DEVICE (each block = two adjacent
+    1024-sample segments), halving the host->device upload vs shipping
+    pre-built overlapped blocks.
+    """
+    _, band, onehot, _, _ = psycho.model_tables(sample_rate, BLOCK)
+    C, n = padded.shape
+    segs = padded.reshape(C, n // HOP, HOP)
+    blocks = jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)  # [C, T, 2048]
+    coeffs = mdct.forward(blocks, BLOCK, WINDOW)
+    return _quantize_coeffs(coeffs, band, onehot, sample_rate, thr)
+
+
 def encode_sf_u16(sf: np.ndarray) -> np.ndarray:
     """f32 scale factors -> log-u16 wire form (encoder.rs:259-269)."""
     sf = np.asarray(sf, dtype=np.float32)
@@ -69,8 +89,9 @@ def encode_sf_u16(sf: np.ndarray) -> np.ndarray:
     return np.where(sf > 1e-10, out, np.uint16(0))
 
 
-def _file_blocks(samples: np.ndarray, channels: int):
-    """[C, T, 2048] overlapping blocks per encoder.rs:167-239 framing."""
+def _file_padded(samples: np.ndarray, channels: int):
+    """Pre-rolled, hop-padded signal [C, (num_hops+1)*1024] per
+    encoder.rs:167-239 framing (blocks are folded on device)."""
     samples = np.asarray(samples, dtype=np.float32).reshape(-1)
     C = int(channels)
     n = len(samples) // C
@@ -81,8 +102,7 @@ def _file_blocks(samples: np.ndarray, channels: int):
     deint = samples[: n * C].reshape(n, C).T if n else np.zeros((C, 0), np.float32)
     usable = min(n, padded_len - HOP)
     padded[:, HOP : HOP + usable] = deint[:, :usable]
-    blocks = np.lib.stride_tricks.sliding_window_view(padded, BLOCK, axis=1)[:, ::HOP]
-    return np.ascontiguousarray(blocks[:, :num_hops]), num_hops
+    return padded, num_hops
 
 
 def _assemble_frames(q: np.ndarray, sf_u16: np.ndarray, C: int, num_hops: int) -> list[Frame]:
@@ -112,15 +132,15 @@ def encode_many_to_frames(
     device call (hop counts padded to the batch max; padding blocks are
     all-zero and their frames are never emitted)."""
     C = int(channels)
-    per_file = [_file_blocks(s, C) for s in samples_list]
+    per_file = [_file_padded(s, C) for s in samples_list]
     t_max = max((nh for _, nh in per_file), default=0)
     if t_max == 0:
         return [[] for _ in samples_list]
-    stacked = np.zeros((len(per_file) * C, t_max, BLOCK), dtype=np.float32)
-    for i, (blocks, nh) in enumerate(per_file):
-        stacked[i * C : (i + 1) * C, :nh] = blocks
+    stacked = np.zeros((len(per_file) * C, (t_max + 1) * HOP), dtype=np.float32)
+    for i, (padded, nh) in enumerate(per_file):
+        stacked[i * C : (i + 1) * C, : padded.shape[1]] = padded
 
-    q, sf = _encode_blocks(jnp.asarray(stacked), int(sample_rate), smr_threshold(quality))
+    q, sf = _encode_padded(jnp.asarray(stacked), int(sample_rate), smr_threshold(quality))
     q = np.asarray(q)
     sf_u16 = encode_sf_u16(np.asarray(sf))
 

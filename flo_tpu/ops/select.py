@@ -171,3 +171,45 @@ def encode_select_step(
         lanes, nvalid, win_c, take(shifts_all), take(orders_all), take(fixed_all)
     )
     return best_ci, best_k, best_size, residuals
+
+
+@partial(jax.jit, static_argnames=("is_lpc",))
+def encode_select_pcm16(
+    pcm16, mid_side, nvalid_f, coeffs_all, shifts_all, orders_all, fixed_all,
+    cand_ok, is_lpc: tuple
+):
+    """Transport-optimized candidate search.
+
+    Takes i16 PCM [F, C, S] + per-frame mid/side flags (halving the upload vs
+    i32 mid/side lanes — the lane build is exact int32 math on device) and
+    returns the winner residuals as i16 [L, S] plus per-lane `fits` flags
+    (the i32 residual tensor is also returned, device-resident, so the host
+    can gather the rare lanes whose residuals exceed i16 with a tiny
+    follow-up fetch). Halves both directions of the tunnel traffic.
+    """
+    F, C, S = pcm16.shape
+    p = pcm16.astype(jnp.int32)
+    if C == 2:
+        mid = p[:, 0] + p[:, 1]
+        side = p[:, 0] - p[:, 1]
+        lanes_fc = jnp.where(
+            mid_side[:, None, None], jnp.stack([mid, side], axis=1), p
+        )
+    else:
+        lanes_fc = p
+    lanes = lanes_fc.reshape(F * C, S)
+    nvalid = jnp.repeat(nvalid_f.astype(jnp.int32), C)
+
+    sel, k, size, residuals = encode_select_step(
+        lanes, nvalid, coeffs_all, shifts_all, orders_all, fixed_all, cand_ok, is_lpc
+    )
+    rmin = jnp.min(residuals, axis=1)
+    rmax = jnp.max(residuals, axis=1)
+    fits = (rmin >= -32768) & (rmax <= 32767)
+    return sel, k, size, residuals.astype(jnp.int16), fits, residuals
+
+
+@partial(jax.jit, static_argnames=())
+def gather_rows(arr, idx):
+    """Tiny follow-up fetch of specific rows (misfit lanes)."""
+    return jnp.take(arr, idx, axis=0)
