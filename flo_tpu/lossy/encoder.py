@@ -74,6 +74,7 @@ def _encode_padded(padded, sample_rate: int, thr: float):
     pre-built overlapped blocks.
     """
     _, band, onehot, _, _ = psycho.model_tables(sample_rate, BLOCK)
+    padded = padded.astype(jnp.float32)  # accepts f16 transport uploads
     C, n = padded.shape
     segs = padded.reshape(C, n // HOP, HOP)
     blocks = jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)  # [C, T, 2048]
@@ -126,17 +127,21 @@ def _assemble_frames(q: np.ndarray, sf_u16: np.ndarray, C: int, num_hops: int) -
 
 
 def encode_many_to_frames(
-    samples_list, sample_rate: int, channels: int, quality: float
+    samples_list, sample_rate: int, channels: int, quality: float,
+    transport_dtype=np.float32,
 ) -> list[list[Frame]]:
     """Bulk blocked MDCT encode: all files' channel lanes stacked into one
     device call (hop counts padded to the batch max; padding blocks are
-    all-zero and their frames are never emitted)."""
+    all-zero and their frames are never emitted).
+
+    transport_dtype=np.float16 halves the upload; the MDCT input is then
+    f16-quantized (~1e-4), inside the lossy tolerance at every preset."""
     C = int(channels)
     per_file = [_file_padded(s, C) for s in samples_list]
     t_max = max((nh for _, nh in per_file), default=0)
     if t_max == 0:
         return [[] for _ in samples_list]
-    stacked = np.zeros((len(per_file) * C, (t_max + 1) * HOP), dtype=np.float32)
+    stacked = np.zeros((len(per_file) * C, (t_max + 1) * HOP), dtype=transport_dtype)
     for i, (padded, nh) in enumerate(per_file):
         stacked[i * C : (i + 1) * C, : padded.shape[1]] = padded
 
@@ -166,9 +171,12 @@ def encode_many(
     quality: float,
     metadata_list=None,
     bit_depth: int = 16,
+    transport_dtype=np.float32,
 ) -> list[bytes]:
     """Bulk lossy encode: one device pass for every file."""
-    frames_per_file = encode_many_to_frames(samples_list, sample_rate, channels, quality)
+    frames_per_file = encode_many_to_frames(
+        samples_list, sample_rate, channels, quality, transport_dtype
+    )
     q_u8 = min(int(round(min(max(float(quality), 0.0), 1.0) * 4.0)), 4)
     metas = metadata_list or [b""] * len(frames_per_file)
     return [

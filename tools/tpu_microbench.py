@@ -40,10 +40,10 @@ def main():
         down = mb / (time.time() - t0)
         print(f"{mb:3d} MB: up {up:7.1f} MB/s   down {down:7.1f} MB/s", flush=True)
 
-    # Stage timings on a 8x60s-equivalent lane batch.
+    # Stage timings on a 2x60s-equivalent lane batch.
     from flo_tpu.ops import lpc, mdct
 
-    L, S = 960, 44100
+    L, S = 240, 44100
     lanes = np.random.default_rng(1).integers(-30000, 30000, (L, S)).astype(np.int32)
     coeffs = np.zeros((L, 12), np.int32)
     coeffs[:, 0] = 1 << 10
@@ -51,22 +51,32 @@ def main():
     orders = np.ones(L, np.int32)
     fixed = np.zeros(L, bool)
 
-    d_lanes = jax.device_put(lanes, dev)
-    r = lpc.reconstruct(d_lanes, coeffs, shifts, orders, fixed)
-    jax.block_until_ready(r)
-    t0 = time.time()
-    r = lpc.reconstruct(d_lanes, coeffs, shifts, orders, fixed)
-    jax.block_until_ready(r)
-    print(f"reconstruct scan [{L},{S}]: {time.time()-t0:.2f}s", flush=True)
+    try:
+        d_lanes = jax.device_put(lanes, dev)
+        t0 = time.time()
+        r = lpc.reconstruct(d_lanes, coeffs, shifts, orders, fixed)
+        jax.block_until_ready(r)
+        print(f"reconstruct compile+run [{L},{S}]: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        r = lpc.reconstruct(d_lanes, coeffs, shifts, orders, fixed)
+        jax.block_until_ready(r)
+        print(f"reconstruct hot [{L},{S}]: {time.time()-t0:.2f}s", flush=True)
+    except Exception as e:
+        print("reconstruct failed:", e, flush=True)
 
-    blocks = np.random.default_rng(2).standard_normal((16, 2590, 2048)).astype(np.float32)
-    d_blocks = jax.device_put(blocks, dev)
-    c = mdct.forward(d_blocks)
-    jax.block_until_ready(c)
-    t0 = time.time()
-    c = mdct.forward(d_blocks)
-    jax.block_until_ready(c)
-    print(f"mdct forward [16,2590,2048]: {time.time()-t0:.2f}s", flush=True)
+    try:
+        blocks = np.random.default_rng(2).standard_normal((4, 2590, 2048)).astype(np.float32)
+        d_blocks = jax.device_put(blocks, dev)
+        t0 = time.time()
+        c = mdct.forward(d_blocks)
+        jax.block_until_ready(c)
+        print(f"mdct fwd compile+run [4,2590,2048]: {time.time()-t0:.1f}s", flush=True)
+        t0 = time.time()
+        c = mdct.forward(d_blocks)
+        jax.block_until_ready(c)
+        print(f"mdct fwd hot: {time.time()-t0:.2f}s", flush=True)
+    except Exception as e:
+        print("mdct failed:", e, flush=True)
 
 
 if __name__ == "__main__":
