@@ -131,20 +131,7 @@ def _device_decode(rows, coeffs, shifts, orders, is_fixed, mid_side, channels: i
 
 def decode_file(flo: FloFile) -> np.ndarray:
     """Decode a parsed lossless file to interleaved float32 samples."""
-    channels = flo.header.channels
-    marshaled = _marshal_lanes(flo)
-    if marshaled is None:
-        return np.zeros(0, dtype=np.float32)
-    rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths = marshaled
-
-    out = np.asarray(
-        _device_decode(rows, coeffs, shifts, orders, is_fixed, mid_side, channels)
-    )  # [F, S, C]
-
-    if (frame_lengths == S).all():
-        return out.reshape(-1, channels).reshape(-1)
-    parts = [out[i, : frame_lengths[i]] for i in range(out.shape[0])]
-    return np.concatenate(parts, axis=0).reshape(-1)
+    return decode_many([flo])[0]
 
 
 def decode(data: bytes) -> np.ndarray:
