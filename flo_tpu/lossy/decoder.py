@@ -80,22 +80,7 @@ def _decode_blocks(q, sf, sample_rate: int, n: int):
 
 def decode_file(flo: FloFile) -> np.ndarray:
     """Decode a parsed lossy file to interleaved f32 (pre-roll dropped)."""
-    blobs = [f.channels[0].residuals for f in flo.frames if f.channels]
-    parsed = []
-    for b in blobs:
-        p = deserialize_frame(b)
-        if p is None:
-            raise ValueError("Failed to deserialize transform frame")
-        parsed.append(p)
-    if not parsed:
-        return np.zeros(0, dtype=np.float32)
-    n = parsed[0][0]
-    if any(p[0] != n for p in parsed):
-        raise ValueError("Mixed MDCT block sizes are not supported")
-    sf = np.stack([p[1] for p in parsed])  # [T, C, 25]
-    q = np.stack([p[2] for p in parsed])  # [T, C, n2]
-    segs = np.asarray(_decode_blocks(jnp.asarray(q), jnp.asarray(sf), flo.header.sample_rate, n))
-    return segs[1:].reshape(-1)  # drop pre-roll frame, interleave
+    return decode_many([flo])[0]
 
 
 def decode(data: bytes) -> np.ndarray:
