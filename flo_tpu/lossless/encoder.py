@@ -48,7 +48,7 @@ from ..core.constants import (
 from ..core.convert import f32_to_i32_np
 from ..core.types import ChannelData, Frame
 from ..ops import lpc
-from ..ops.select import encode_select_pcm16, encode_select_step, gather_rows
+from ..ops.select import encode_select_pcm16, gather_rows
 
 
 def _fetch_rows(dev_arr, idx: np.ndarray) -> np.ndarray:

@@ -22,16 +22,16 @@ from .sparse import deserialize_sparse
 _BLOCK_SIZES = {0: 2048, 1: 256, 2: 2048, 3: 2048}  # Long/Short/Start/Stop
 
 
-def deserialize_frame(data: bytes, expect_n2: int | None = None):
-    """Parse one transform blob -> (n, sf [C, 25] f32, q [C, n/2] i16) or
-    None on truncation (decoder.rs:61-131)."""
+def deserialize_frame_raw(data: bytes):
+    """Parse one transform blob -> (n, sf [C, 25] f32, [sparse bytes per
+    channel]) or None on truncation (decoder.rs:61-131). Sparse streams are
+    left encoded so callers can batch-decode them."""
     if len(data) < 2:
         return None
     bs = data[0]
     if bs not in _BLOCK_SIZES:
         return None
     n = _BLOCK_SIZES[bs]
-    n2 = n // 2
     C = data[1]
     pos = 2
     sf = np.zeros((C, psycho.NUM_BARK_BANDS), dtype=np.float32)
@@ -42,7 +42,7 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
         raw = np.frombuffer(data, dtype="<u2", count=psycho.NUM_BARK_BANDS, offset=pos)
         pos += need
         sf[c] = np.where(raw > 0, np.exp2((raw.astype(np.float32) - 32768.0) / 256.0), 0.0)
-    q = np.zeros((C, n2), dtype=np.int16)
+    streams = []
     for c in range(C):
         if pos + 4 > len(data):
             return None
@@ -50,9 +50,32 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
         pos += 4
         if pos + ln > len(data):
             return None
-        q[c] = deserialize_sparse(data[pos : pos + ln], n2)
+        streams.append(data[pos : pos + ln])
         pos += ln
-    return n, sf, q
+    return n, sf, streams
+
+
+def _sparse_decode_rows(streams, n2: int) -> np.ndarray:
+    """[len(streams), n2] i16 via the native batch decoder (numpy fallback)."""
+    from .. import native
+
+    out = native.sparse_decode_batch(streams, n2)
+    if out is not None:
+        return out
+    rows = np.zeros((len(streams), n2), dtype=np.int16)
+    for i, s in enumerate(streams):
+        rows[i] = deserialize_sparse(s, n2)
+    return rows
+
+
+def deserialize_frame(data: bytes, expect_n2: int | None = None):
+    """Parse one transform blob -> (n, sf [C, 25] f32, q [C, n/2] i16) or
+    None on truncation (decoder.rs:61-131)."""
+    raw = deserialize_frame_raw(data)
+    if raw is None:
+        return None
+    n, sf, streams = raw
+    return n, sf, _sparse_decode_rows(streams, n // 2)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -100,7 +123,7 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
         for f in flo.frames:
             if not f.channels:
                 continue
-            p = deserialize_frame(f.channels[0].residuals)
+            p = deserialize_frame_raw(f.channels[0].residuals)
             if p is None:
                 raise ValueError("Failed to deserialize transform frame")
             parsed.append(p)
@@ -108,18 +131,28 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
     if not parsed_files or all(not p for p in parsed_files):
         return [np.zeros(0, dtype=np.float32) for _ in flos]
     n = next(p[0][0] for p in parsed_files if p)
-    C = next(p[0][2].shape[0] for p in parsed_files if p)
+    C = next(len(p[0][2]) for p in parsed_files if p)
     rate = flos[0].header.sample_rate
     t_max = max(len(p) for p in parsed_files)
     N = len(parsed_files)
+
+    # One native sparse-decode pass over every (file, frame, channel) stream.
+    all_streams = []
+    for parsed in parsed_files:
+        for nn, s, streams in parsed:
+            all_streams.extend(streams)
+    all_rows = _sparse_decode_rows(all_streams, n // 2)
+
     q = np.zeros((N, t_max, C, n // 2), dtype=np.int16)
     sf = np.zeros((N, t_max, C, psycho.NUM_BARK_BANDS), dtype=np.float32)
+    row = 0
     for i, parsed in enumerate(parsed_files):
-        for t, (nn, s, qq) in enumerate(parsed):
-            if nn != n or qq.shape[0] != C or flos[i].header.sample_rate != rate:
+        for t, (nn, s, streams) in enumerate(parsed):
+            if nn != n or len(streams) != C or flos[i].header.sample_rate != rate:
                 raise ValueError("decode_many requires homogeneous files")
             sf[i, t] = s
-            q[i, t] = qq
+            q[i, t] = all_rows[row : row + C]
+            row += C
     fn = _decode_blocks_f16 if transport_dtype == np.float16 else _decode_blocks
     segs = np.asarray(fn(jnp.asarray(q), jnp.asarray(sf), int(rate), n)).astype(np.float32)
     return [

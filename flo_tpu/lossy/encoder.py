@@ -106,14 +106,17 @@ def _file_padded(samples: np.ndarray, channels: int):
     return padded, num_hops
 
 
-def _assemble_frames(q: np.ndarray, sf_u16: np.ndarray, C: int, num_hops: int) -> list[Frame]:
+def _assemble_frames(
+    q: np.ndarray, sf_u16: np.ndarray, C: int, num_hops: int, payloads=None
+) -> list[Frame]:
+    """payloads: optional pre-computed sparse streams indexed [c][t]."""
     frames = []
     for t in range(num_hops):
         blob = bytearray([0, C])  # Long block marker + channel count
         for c in range(C):
             blob += sf_u16[c, t].astype("<u2").tobytes()
         for c in range(C):
-            payload = serialize_sparse(q[c, t])
+            payload = payloads[c][t] if payloads is not None else serialize_sparse(q[c, t])
             blob += len(payload).to_bytes(4, "little")
             blob += payload
         frames.append(
@@ -146,12 +149,28 @@ def encode_many_to_frames(
         stacked[i * C : (i + 1) * C, : padded.shape[1]] = padded
 
     q, sf = _encode_padded(jnp.asarray(stacked), int(sample_rate), smr_threshold(quality))
-    q = np.asarray(q)
+    q = np.asarray(q)  # [N*C, T, 1024]
     sf_u16 = encode_sf_u16(np.asarray(sf))
+
+    # One native sparse-RLE pass over every (lane, hop) row.
+    from .. import native
+
+    T = q.shape[1]
+    flat = native.sparse_encode_batch(q.reshape(-1, q.shape[-1]))
 
     out = []
     for i, (_, nh) in enumerate(per_file):
-        out.append(_assemble_frames(q[i * C : (i + 1) * C], sf_u16[i * C : (i + 1) * C], C, nh))
+        if flat is not None:
+            payloads = [
+                flat[(i * C + c) * T : (i * C + c) * T + nh] for c in range(C)
+            ]
+        else:
+            payloads = None
+        out.append(
+            _assemble_frames(
+                q[i * C : (i + 1) * C], sf_u16[i * C : (i + 1) * C], C, nh, payloads
+            )
+        )
     return out
 
 

@@ -1,16 +1,18 @@
 """Native (C++) host finalizers with lazy g++ build and ctypes binding.
 
-The TPU owns the array math; the container's serial bit-level work (Rice
-pack/unpack) is the host hot path, implemented in C++ with OpenMP over
-streams (flo_tpu/native/rice.cpp) — the native equivalent of the reference's
-Rust rice.rs. Falls back to the vectorized numpy implementation when no
-toolchain is available, so importing never requires g++.
+The TPU owns the array math; the container's serial bit/byte-level work is
+the host hot path, implemented in C++ with OpenMP over independent streams:
+
+- rice.cpp    — Rice bitstream pack/unpack (rice.rs equivalent)
+- sparse.cpp  — lossy sparse RLE coefficient coder (encoder.rs:284-329)
+
+Falls back to the vectorized numpy implementations when no toolchain is
+available, so importing never requires g++.
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 import threading
@@ -18,70 +20,85 @@ import threading
 import numpy as np
 
 _DIR = pathlib.Path(__file__).resolve().parent
-_SRC = _DIR / "rice.cpp"
-_LIB_PATH = _DIR / "_librice.so"
 _lock = threading.Lock()
-_lib = None
-_tried = False
+_libs: dict = {}
+
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i16p = ctypes.POINTER(ctypes.c_int16)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+_SIGNATURES = {
+    "rice": {
+        "rice_sizes": [_i32p, ctypes.c_int64, ctypes.c_int64, _i64p, _i32p, _i64p],
+        "rice_encode_batch": [
+            _i32p, ctypes.c_int64, ctypes.c_int64, _i64p, _i32p, _i64p, _u8p
+        ],
+        "rice_decode_batch": [
+            _u8p, _i64p, _i64p, _i32p, _i64p, ctypes.c_int64, ctypes.c_int64, _i32p
+        ],
+    },
+    "sparse": {
+        "sparse_sizes": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p],
+        "sparse_encode": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p, _u8p],
+        "sparse_decode": [
+            _u8p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i16p
+        ],
+    },
+}
 
 
-def _build() -> bool:
+def _build(src: pathlib.Path, out: pathlib.Path) -> bool:
     cmds = [
-        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-         str(_SRC), "-o", str(_LIB_PATH)],
-        ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB_PATH)],
-        ["cc", "-O2", "-shared", "-fPIC", "-x", "c++", str(_SRC), "-lstdc++",
-         "-o", str(_LIB_PATH)],
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", str(src), "-o", str(out)],
+        ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
+        ["cc", "-O2", "-shared", "-fPIC", "-x", "c++", str(src), "-lstdc++", "-o", str(out)],
     ]
     for cmd in cmds:
         try:
             res = subprocess.run(cmd, capture_output=True, timeout=120)
-            if res.returncode == 0 and _LIB_PATH.exists():
+            if res.returncode == 0 and out.exists():
                 return True
         except (OSError, subprocess.SubprocessError):
             continue
     return False
 
 
-def _load():
-    global _lib, _tried
+def _load(name: str):
     with _lock:
-        if _tried:
-            return _lib
-        _tried = True
+        if name in _libs:
+            return _libs[name]
+        src = _DIR / f"{name}.cpp"
+        so = _DIR / f"_lib{name}.so"
+        lib = None
         try:
-            if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
-                if not _build():
+            if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+                if not _build(src, so):
+                    _libs[name] = None
                     return None
-            lib = ctypes.CDLL(str(_LIB_PATH))
-            i64p = ctypes.POINTER(ctypes.c_int64)
-            i32p = ctypes.POINTER(ctypes.c_int32)
-            u8p = ctypes.POINTER(ctypes.c_uint8)
-            lib.rice_sizes.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p]
-            lib.rice_encode_batch.argtypes = [
-                i32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p, u8p
-            ]
-            lib.rice_decode_batch.argtypes = [
-                u8p, i64p, i64p, i32p, i64p, ctypes.c_int64, ctypes.c_int64, i32p
-            ]
-            _lib = lib
+            lib = ctypes.CDLL(str(so))
+            for fn, argtypes in _SIGNATURES[name].items():
+                getattr(lib, fn).argtypes = argtypes
         except OSError:
-            _lib = None
-        return _lib
+            lib = None
+        _libs[name] = lib
+        return lib
 
 
 def available() -> bool:
-    return _load() is not None
+    return _load("rice") is not None
 
 
 def _ptr(a, ctype):
     return a.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+# ---------------- Rice ----------------
+
+
 def rice_encode_batch(rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray):
-    """C++ batch Rice pack; returns list of per-stream bytes or None if the
-    native library is unavailable."""
-    lib = _load()
+    """C++ batch Rice pack; returns list of per-stream bytes or None."""
+    lib = _load("rice")
     if lib is None:
         return None
     rows = np.ascontiguousarray(rows, dtype=np.int32)
@@ -110,7 +127,7 @@ def rice_encode_batch(rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray):
 
 def rice_decode_batch(blobs, ks, lengths, out_width: int):
     """C++ batch Rice unpack into [n, out_width] int32, or None."""
-    lib = _load()
+    lib = _load("rice")
     if lib is None:
         return None
     n = len(blobs)
@@ -130,5 +147,52 @@ def rice_decode_batch(blobs, ks, lengths, out_width: int):
             _ptr(blob_lens, ctypes.c_int64), _ptr(ks, ctypes.c_int32),
             _ptr(lengths, ctypes.c_int64), n, out_width,
             _ptr(out, ctypes.c_int32),
+        )
+    return out
+
+
+# ---------------- Sparse RLE ----------------
+
+
+def sparse_encode_batch(rows: np.ndarray):
+    """C++ sparse RLE over [n, width] i16 rows -> list of bytes, or None."""
+    lib = _load("sparse")
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int16)
+    n, width = rows.shape
+    sizes = np.empty(n, dtype=np.int64)
+    lib.sparse_sizes(_ptr(rows, ctypes.c_int16), n, width, _ptr(sizes, ctypes.c_int64))
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + sizes[-1]) if n else 0
+    out = np.zeros(max(total, 1), dtype=np.uint8)
+    if n:
+        lib.sparse_encode(
+            _ptr(rows, ctypes.c_int16), n, width,
+            _ptr(offsets, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
+        )
+    buf = out.tobytes()
+    return [buf[int(offsets[i]) : int(offsets[i] + sizes[i])] for i in range(n)]
+
+
+def sparse_decode_batch(blobs, width: int):
+    """C++ sparse RLE decode -> [n, width] i16, or None."""
+    lib = _load("sparse")
+    if lib is None:
+        return None
+    n = len(blobs)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    cat = np.frombuffer(b"".join(blobs), dtype=np.uint8) if n else np.zeros(0, np.uint8)
+    cat = np.ascontiguousarray(cat)
+    if cat.size == 0:
+        cat = np.zeros(1, dtype=np.uint8)
+    out = np.zeros((n, width), dtype=np.int16)
+    if n:
+        lib.sparse_decode(
+            _ptr(cat, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+            _ptr(lens, ctypes.c_int64), n, width, _ptr(out, ctypes.c_int16),
         )
     return out

@@ -78,58 +78,6 @@ def reconstruct(residuals, coeffs, shifts, orders, is_fixed, unroll: int = 8):
     return out.T
 
 
-@jax.jit
-def residuals_from_samples(samples, coeffs, shifts, orders, is_fixed):
-    """Inverse of :func:`reconstruct`: batched residual computation.
-
-    No sequential dependence: prediction at step i only reads the *original*
-    samples, so the 12-tap dot product is evaluated for every i in parallel
-    (lpc.rs:279-298 / fixed ramps lpc.rs:301-359).
-
-    Args/shapes as in :func:`reconstruct`; returns [L, S] int32 residuals.
-    """
-    L, S = samples.shape
-    # lagged[l, i, j] = samples[l, i-1-j] (zero for i-1-j < 0)
-    lagged = jnp.stack(
-        [jnp.pad(samples, ((0, 0), (j + 1, 0)))[:, :S] for j in range(MAX_ORDER)], axis=-1
-    )
-    fixed_table = jnp.asarray(_FIXED_COEFFS)
-    i_idx = jnp.arange(S, dtype=jnp.int32)
-    ramp_rows = fixed_table[jnp.minimum(i_idx, 4)]  # [S, MAX_ORDER]
-    use_ramp = i_idx[None, :] < orders[:, None]  # [L, S]
-    c_eff = jnp.where(
-        use_ramp[:, :, None],
-        jnp.where(is_fixed[:, None, None], ramp_rows[None, :, :], jnp.int32(0)),
-        coeffs[:, None, :],
-    )
-    pred = predict_shift(c_eff, lagged, shifts[:, None])
-    return samples - pred
-
-
-@jax.jit
-def autocorrelation(samples_f32, mask):
-    """Batched autocorrelation lags 0..MAX_ORDER in float32.
-
-    The reference computes integer autocorrelation in i64 (lpc.rs:213-221)
-    purely as input to a float64 Levinson recursion. Full-precision i64 is
-    unnecessary for that purpose (the chosen coefficients are stored in the
-    stream, so round-trip exactness never depends on them); float32 dot
-    products on the MXU are used instead, with masking for padded tails.
-
-    samples_f32: [L, S] float32 (i32 samples cast to f32), mask: [L, S].
-    Returns [L, MAX_ORDER+1] float32.
-    """
-    x = samples_f32 * mask
-    cols = []
-    S = x.shape[1]
-    for lag in range(MAX_ORDER + 1):
-        if lag == 0:
-            cols.append(jnp.sum(x * x, axis=1))
-        else:
-            cols.append(jnp.sum(x[:, lag:] * x[:, : S - lag], axis=1))
-    return jnp.stack(cols, axis=1)
-
-
 def levinson_durbin_all_orders(autocorr: np.ndarray, max_order: int):
     """Vectorized (host, float64) Levinson-Durbin producing coefficients for
     *every* order 1..max_order in one recursion.
