@@ -83,16 +83,17 @@ def _candidate_plan(compression_level: int):
 def _autocorr_int_exact(lanes: np.ndarray, nvalid: np.ndarray, max_order: int) -> np.ndarray:
     """Exact integer autocorrelation lags 0..max_order (lpc.rs:213-221).
 
-    f64 products/sums (exact for the codec's i32 sample domain); zero padding
-    beyond nvalid contributes nothing.
+    einsum in f64 over the int32 lanes (exact for the codec's sample domain);
+    zero padding beyond nvalid contributes nothing.
     """
     S = lanes.shape[1]
-    x = lanes.astype(np.float64)
     mask = np.arange(S)[None, :] < nvalid[:, None]
-    x = np.where(mask, x, 0.0)
-    cols = [np.einsum("ls,ls->l", x, x)]
+    x = np.where(mask, lanes, 0)  # int32
+    cols = [np.einsum("ls,ls->l", x, x, dtype=np.float64)]
     for lag in range(1, max_order + 1):
-        cols.append(np.einsum("ls,ls->l", x[:, lag:], x[:, : S - lag]))
+        cols.append(
+            np.einsum("ls,ls->l", x[:, lag:], x[:, : S - lag], dtype=np.float64)
+        )
     return np.stack(cols, axis=1)
 
 
@@ -169,23 +170,24 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
     NC = len(kinds)
     spf = fsc.shape[1]
     ints = f32_to_i32_np(fsc)  # [F', S, C]
-    ch = np.moveaxis(ints, 2, 1).astype(np.float64)  # [F', C, S] (f64-exact)
+    ch = np.ascontiguousarray(np.moveaxis(ints, 2, 1))  # [F', C, S] int32
     Fa = fsc.shape[0]
     nvalid_f = frame_samples
 
     mid_side = np.zeros(Fa, dtype=bool)
     if C == 2:
-        # Exact in f64: squares <= 2^34, sums <= 2^52 (encoder.rs:131-153).
+        # einsum with dtype=f64 is exact here (squares <= 2^34, sums <= 2^52,
+        # encoder.rs:131-153) without materializing f64 copies.
         l, r = ch[:, 0], ch[:, 1]
-        var_l = np.einsum("fs,fs->f", l, l)
-        var_r = np.einsum("fs,fs->f", r, r)
-        side = l - r
-        var_side = np.einsum("fs,fs->f", side, side)
+        var_l = np.einsum("fs,fs->f", l, l, dtype=np.float64)
+        var_r = np.einsum("fs,fs->f", r, r, dtype=np.float64)
+        side = l - r  # int32-exact
+        var_side = np.einsum("fs,fs->f", side, side, dtype=np.float64)
         mid_side = var_side < np.floor_divide(var_l + var_r, 2)
         mid = l + r
         ch = np.where(mid_side[:, None, None], np.stack([mid, side], axis=1), ch)
 
-    lanes = ch.reshape(Fa * C, spf).astype(np.int32)
+    lanes = ch.reshape(Fa * C, spf)
     nvalid = np.repeat(nvalid_f, C).astype(np.int32)
     L = lanes.shape[0]
 

@@ -111,10 +111,12 @@ def _assemble_frames(
 ) -> list[Frame]:
     """payloads: optional pre-computed sparse streams indexed [c][t]."""
     frames = []
+    # One LE conversion for the whole [C, T, 25] table (hot loop below).
+    sf_le = np.ascontiguousarray(sf_u16.astype("<u2"))
     for t in range(num_hops):
         blob = bytearray([0, C])  # Long block marker + channel count
         for c in range(C):
-            blob += sf_u16[c, t].astype("<u2").tobytes()
+            blob += sf_le[c, t].tobytes()
         for c in range(C):
             payload = payloads[c][t] if payloads is not None else serialize_sparse(q[c, t])
             blob += len(payload).to_bytes(4, "little")
