@@ -165,10 +165,42 @@ def encode_many_to_frames(
     return all_frames
 
 
+#: Number of sub-batches a bulk encode is split into. With >1, chunk B's
+#: uploads/compute overlap chunk A's download + host Rice packing (jax
+#: dispatch is async; only the collect blocks).
+PIPELINE_CHUNKS = 2
+
+
 def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
-    """Encode a batch of non-silent frames [F', S, C] -> list of Frames."""
+    """Encode a batch of non-silent frames [F', S, C] -> list of Frames.
+
+    Runs as PIPELINE_CHUNKS double-buffered sub-batches: every chunk's device
+    work is dispatched before any chunk's results are collected.
+    """
+    Fa = fsc.shape[0]
+    G = PIPELINE_CHUNKS if Fa >= 2 * PIPELINE_CHUNKS else 1
+    chunk = -(-Fa // G)
+    states = []
+    for g in range(G):
+        lo, hi = g * chunk, min((g + 1) * chunk, Fa)
+        if lo >= hi:
+            continue
+        states.append(
+            _dispatch_chunk(fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders)
+        )
+    frames_out: List[Frame] = []
+    for st in states:
+        frames_out.extend(_collect_chunk(st, C, kinds, cand_orders, max_order))
+    return frames_out
+
+
+def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders):
+    """Host marshal + async device dispatch for one sub-batch."""
     NC = len(kinds)
     spf = fsc.shape[1]
+    max_order = max(
+        (o for kd, o in zip(kinds, cand_orders) if kd == "lpc"), default=0
+    )
     ints = f32_to_i32_np(fsc)  # [F', S, C]
     ch = np.ascontiguousarray(np.moveaxis(ints, 2, 1))  # [F', C, S] int32
     Fa = fsc.shape[0]
@@ -216,7 +248,7 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
     # i16 transport both ways (see ops/select.py encode_select_pcm16); pcm is
     # i16-representable by construction (f32_to_i32 clamps to [-32768, 32767]).
     pcm16 = np.moveaxis(ints, 2, 1).astype(np.int16)
-    sel_d, k_d, _, r16_d, fits_d, res32_dev = encode_select_pcm16(
+    device_out = encode_select_pcm16(
         jnp.asarray(pcm16),
         jnp.asarray(mid_side),
         jnp.asarray(nvalid_f.astype(np.int32)),
@@ -227,6 +259,27 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
         jnp.asarray(cand_ok),
         is_lpc,
     )
+    return {
+        "device_out": device_out,
+        "coeffs_all": coeffs_all,
+        "shifts_all": shifts_all,
+        "lanes": lanes,
+        "nvalid": nvalid,
+        "frame_samples": frame_samples,
+        "mid_side": mid_side,
+        "Fa": Fa,
+        "L": L,
+    }
+
+
+def _collect_chunk(st, C, kinds, cand_orders, max_order):
+    """Block on one sub-batch's results; Rice-pack and assemble its frames."""
+    sel_d, k_d, _, r16_d, fits_d, res32_dev = st["device_out"]
+    lanes, nvalid = st["lanes"], st["nvalid"]
+    frame_samples, mid_side = st["frame_samples"], st["mid_side"]
+    Fa, L = st["Fa"], st["L"]
+    coeffs_all, shifts_all = st["coeffs_all"], st["shifts_all"]
+
     sel = np.asarray(sel_d)
     ks = np.asarray(k_d)
     residuals = np.asarray(r16_d).astype(np.int32)
