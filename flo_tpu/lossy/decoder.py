@@ -154,7 +154,19 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
             q[i, t] = all_rows[row : row + C]
             row += C
     fn = _decode_blocks_f16 if transport_dtype == np.float16 else _decode_blocks
-    segs = np.asarray(fn(jnp.asarray(q), jnp.asarray(sf), int(rate), n)).astype(np.float32)
-    return [
-        segs[i, 1 : len(parsed_files[i])].reshape(-1) for i in range(N)
-    ]  # drop each file's pre-roll frame
+    # Double-buffer over two file sub-batches: the second chunk's upload and
+    # IMDCT overlap the first chunk's download.
+    half = N // 2 if N >= 4 else N
+    handles = []
+    for lo in range(0, N, half):
+        hi = min(lo + half, N)
+        handles.append(
+            (lo, hi, fn(jnp.asarray(q[lo:hi]), jnp.asarray(sf[lo:hi]), int(rate), n))
+        )
+    outs = [None] * N
+    for lo, hi, h in handles:
+        segs = np.asarray(h).astype(np.float32)
+        for i in range(lo, hi):
+            # drop each file's pre-roll frame
+            outs[i] = segs[i - lo, 1 : len(parsed_files[i])].reshape(-1)
+    return outs
