@@ -196,29 +196,46 @@ def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
             off += r.shape[0]
         mid_side = np.concatenate(mid_side_all)
 
-        # i16 upload + sparse i32 misfit scatter (power-of-two padded).
-        rows16 = rows.astype(np.int16)
-        mis = np.flatnonzero((rows > 32767).any(axis=1) | (rows < -32768).any(axis=1))
-        pad = 1 << max(len(mis) - 1, 0).bit_length()
-        # Padding uses an out-of-bounds index: mode="drop" discards it
-        # (negative indices would WRAP and corrupt the last row).
-        mis_idx = np.full(pad, L_tot, np.int32)
-        mis_idx[: len(mis)] = mis
-        mis_rows = np.zeros((pad, S_max), np.int32)
-        mis_rows[: len(mis)] = rows[mis]
+        # Double-buffer over two frame sub-batches; per chunk: i16 upload +
+        # sparse i32 misfit scatter (power-of-two padded).
+        F_tot = L_tot // channels
+        f_half = F_tot // 2 if F_tot >= 4 else F_tot
 
-        out16_d, fits_d, fcs_dev = _decode_lanes_i16(
-            jnp.asarray(rows16), jnp.asarray(mis_rows), jnp.asarray(mis_idx),
-            jnp.asarray(coeffs), jnp.asarray(shifts), jnp.asarray(orders),
-            jnp.asarray(is_fixed), jnp.asarray(mid_side), channels,
-        )
-        fcs_all = np.asarray(out16_d).astype(np.int32)  # [F_tot, C, S_max]
-        bad = np.flatnonzero(~np.asarray(fits_d))
-        if len(bad):
-            padb = 1 << max(len(bad) - 1, 0).bit_length()
-            idx_p = np.zeros(padb, np.int32)
-            idx_p[: len(bad)] = bad
-            fcs_all[bad] = np.asarray(gather_rows(fcs_dev, jnp.asarray(idx_p)))[: len(bad)]
+        def dispatch(flo_f, fhi_f):
+            lo, hi = flo_f * channels, fhi_f * channels
+            sub = rows[lo:hi]
+            rows16 = sub.astype(np.int16)
+            mis = np.flatnonzero((sub > 32767).any(axis=1) | (sub < -32768).any(axis=1))
+            pad = 1 << max(len(mis) - 1, 0).bit_length()
+            # Padding uses an out-of-bounds index: mode="drop" discards it
+            # (negative indices would WRAP and corrupt the last row).
+            mis_idx = np.full(pad, hi - lo, np.int32)
+            mis_idx[: len(mis)] = mis
+            mis_rows = np.zeros((pad, S_max), np.int32)
+            mis_rows[: len(mis)] = sub[mis]
+            return _decode_lanes_i16(
+                jnp.asarray(rows16), jnp.asarray(mis_rows), jnp.asarray(mis_idx),
+                jnp.asarray(coeffs[lo:hi]), jnp.asarray(shifts[lo:hi]),
+                jnp.asarray(orders[lo:hi]), jnp.asarray(is_fixed[lo:hi]),
+                jnp.asarray(mid_side[flo_f:fhi_f]), channels,
+            )
+
+        handles = []
+        for flo_f in range(0, F_tot, f_half):
+            fhi_f = min(flo_f + f_half, F_tot)
+            handles.append(dispatch(flo_f, fhi_f))
+
+        chunks = []
+        for out16_d, fits_d, fcs_dev in handles:
+            part = np.asarray(out16_d).astype(np.int32)
+            bad = np.flatnonzero(~np.asarray(fits_d))
+            if len(bad):
+                padb = 1 << max(len(bad) - 1, 0).bit_length()
+                idx_p = np.zeros(padb, np.int32)
+                idx_p[: len(bad)] = bad
+                part[bad] = np.asarray(gather_rows(fcs_dev, jnp.asarray(idx_p)))[: len(bad)]
+            chunks.append(part)
+        fcs_all = np.concatenate(chunks)  # [F_tot, C, S_max]
 
         foff = 0
         for i, m in group:

@@ -146,13 +146,24 @@ def encode_many_to_frames(
     t_max = max((nh for _, nh in per_file), default=0)
     if t_max == 0:
         return [[] for _ in samples_list]
-    stacked = np.zeros((len(per_file) * C, (t_max + 1) * HOP), dtype=transport_dtype)
+    N = len(per_file)
+    stacked = np.zeros((N * C, (t_max + 1) * HOP), dtype=transport_dtype)
     for i, (padded, nh) in enumerate(per_file):
         stacked[i * C : (i + 1) * C, : padded.shape[1]] = padded
 
-    q, sf = _encode_padded(jnp.asarray(stacked), int(sample_rate), smr_threshold(quality))
-    q = np.asarray(q)  # [N*C, T, 1024]
-    sf_u16 = encode_sf_u16(np.asarray(sf))
+    # Double-buffer over two file sub-batches (second chunk's upload + MDCT
+    # overlap the first chunk's download).
+    half = (N // 2) * C if N >= 4 else N * C
+    handles = []
+    for lo in range(0, N * C, half):
+        hi = min(lo + half, N * C)
+        handles.append(
+            _encode_padded(
+                jnp.asarray(stacked[lo:hi]), int(sample_rate), smr_threshold(quality)
+            )
+        )
+    q = np.concatenate([np.asarray(h[0]) for h in handles])  # [N*C, T, 1024]
+    sf_u16 = encode_sf_u16(np.concatenate([np.asarray(h[1]) for h in handles]))
 
     # One native sparse-RLE pass over every (lane, hop) row.
     from .. import native
