@@ -116,7 +116,7 @@ def main() -> None:
         # codec noise; halves the tunnel traffic.
         d_lo = loe.encode_many(clips, RATE, CHANNELS, q_med, transport_dtype=np.float16)
         o_lo = lod.decode_many(
-            [_reader.read(d) for d in d_lo], transport_dtype=np.float16
+            [_reader.read(d) for d in d_lo], transport_dtype=np.int16
         )
         return d_ll, o_ll, d_lo, o_lo
 

@@ -86,6 +86,14 @@ def _decode_blocks_f16(q, sf, sample_rate: int, n: int):
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
+def _decode_blocks_i16(q, sf, sample_rate: int, n: int):
+    """Transport variant: i16 downloads (x32767 quantization, ~1.5e-5 error —
+    two orders below codec noise even at the transparent preset)."""
+    s = _decode_blocks(q, sf, sample_rate, n)
+    return jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "n"))
 def _decode_blocks(q, sf, sample_rate: int, n: int):
     """q [..., T, C, n2] i16, sf [..., T, C, 25] -> segments [..., T, n2, C].
 
@@ -153,7 +161,12 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
             sf[i, t] = s
             q[i, t] = all_rows[row : row + C]
             row += C
-    fn = _decode_blocks_f16 if transport_dtype == np.float16 else _decode_blocks
+    if transport_dtype == np.float16:
+        fn = _decode_blocks_f16
+    elif transport_dtype == np.int16:
+        fn = _decode_blocks_i16
+    else:
+        fn = _decode_blocks
     # Double-buffer over two file sub-batches: the second chunk's upload and
     # IMDCT overlap the first chunk's download.
     half = N // 2 if N >= 4 else N
@@ -165,7 +178,11 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
         )
     outs = [None] * N
     for lo, hi, h in handles:
-        segs = np.asarray(h).astype(np.float32)
+        segs = np.asarray(h)
+        if segs.dtype == np.int16:
+            segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
+        else:
+            segs = segs.astype(np.float32)
         for i in range(lo, hi):
             # drop each file's pre-roll frame
             outs[i] = segs[i - lo, 1 : len(parsed_files[i])].reshape(-1)
