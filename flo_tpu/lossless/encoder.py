@@ -83,16 +83,18 @@ def _candidate_plan(compression_level: int):
 def _autocorr_int_exact(lanes: np.ndarray, nvalid: np.ndarray, max_order: int) -> np.ndarray:
     """Exact integer autocorrelation lags 0..max_order (lpc.rs:213-221).
 
-    einsum in f64 over the int32 lanes (exact for the codec's sample domain);
-    zero padding beyond nvalid contributes nothing.
+    f64 (exact for the codec's sample domain: products <= 2^34, sums <= 2^52,
+    so ANY summation order gives the identical result); batched BLAS matmul
+    per lag for multithreaded reductions. Zero padding beyond nvalid
+    contributes nothing.
     """
     S = lanes.shape[1]
     mask = np.arange(S)[None, :] < nvalid[:, None]
-    x = np.where(mask, lanes, 0)  # int32
-    cols = [np.einsum("ls,ls->l", x, x, dtype=np.float64)]
+    x = np.where(mask, lanes, 0).astype(np.float64)  # one f64 copy
+    cols = [np.matmul(x[:, None, :], x[:, :, None])[:, 0, 0]]
     for lag in range(1, max_order + 1):
         cols.append(
-            np.einsum("ls,ls->l", x[:, lag:], x[:, : S - lag], dtype=np.float64)
+            np.matmul(x[:, None, lag:], x[:, : S - lag, None])[:, 0, 0]
         )
     return np.stack(cols, axis=1)
 
