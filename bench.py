@@ -109,27 +109,15 @@ def main() -> None:
     clips = [make_audio(WORKLOAD_SECONDS, RATE, seed=42 + i) for i in range(BATCH_FILES)]
     q_med = QUALITY_U8_TO_F32[1]
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    pool = ThreadPoolExecutor(2)
-
     def pass_once():
-        # The lossless and lossy pipelines are independent; running them on
-        # two threads overlaps their transfers and host finalizers (numpy,
-        # BLAS, ctypes, and device transfers all release the GIL).
-        # f16/i16 transport on the lossy bulk path: ~1e-4 quantization, far
-        # below codec noise; halves the tunnel traffic.
-        f1 = pool.submit(lle.encode_many, clips, RATE, CHANNELS, 16, 5)
-        f2 = pool.submit(
-            loe.encode_many, clips, RATE, CHANNELS, q_med,
-            None, 16, np.float16,
+        d_ll = lle.encode_many(clips, RATE, CHANNELS, 16, 5)
+        o_ll = lld.decode_many([_reader.read(d) for d in d_ll])
+        # f16 transport on the lossy bulk path: ~1e-4 quantization, far below
+        # codec noise; halves the tunnel traffic.
+        d_lo = loe.encode_many(clips, RATE, CHANNELS, q_med, transport_dtype=np.float16)
+        o_lo = lod.decode_many(
+            [_reader.read(d) for d in d_lo], transport_dtype=np.int16
         )
-        d_ll, d_lo = f1.result(), f2.result()
-        f3 = pool.submit(lld.decode_many, [_reader.read(d) for d in d_ll])
-        f4 = pool.submit(
-            lod.decode_many, [_reader.read(d) for d in d_lo], np.int16
-        )
-        o_ll, o_lo = f3.result(), f4.result()
         return d_ll, o_ll, d_lo, o_lo
 
     # Warmup: compile all jit programs for these shapes.
