@@ -107,9 +107,7 @@ def decode_frame_at(flo_data: bytes, frame_index: int) -> np.ndarray:
         out = lossy_decoder.decode_file(sub)
         if frame_index == 0:
             # Reference: frame 0 decodes against a zero overlap buffer.
-            sub0 = FloFile(flo.header, flo.toc, [frame], b"", flo.metadata)
-            blobs = frame.channels[0].residuals
-            p = lossy_decoder.deserialize_frame(blobs)
+            p = lossy_decoder.deserialize_frame(frame.channels[0].residuals)
             if p is None:
                 raise ValueError("Failed to deserialize transform frame")
             n, sf, q = p

@@ -155,6 +155,14 @@ class TestSeeking:
         with pytest.raises(IndexError):
             flo_tpu.decode_frame_at(data, 99)
 
+    def test_lossy_seek_frame0_preroll(self):
+        rate = 44100
+        s = sine(330, rate, 0.5)
+        data = flo_tpu.encode_lossy(s, rate, 1, 3, analyze=False)
+        frame0 = flo_tpu.decode_frame_at(data, 0)
+        # Frame 0 is the pre-roll block decoded against a zero overlap buffer.
+        assert len(frame0) == 1024
+
     def test_lossy_seek_matches_full(self):
         rate = 44100
         s = sine(330, rate, 1.0)
