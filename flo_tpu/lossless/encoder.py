@@ -48,7 +48,7 @@ from ..core.constants import (
 from ..core.convert import f32_to_i32_np
 from ..core.types import ChannelData, Frame
 from ..ops import lpc
-from ..ops.select import encode_select_pcm16, gather_rows
+from ..ops.select import encode_select_device, encode_select_pcm16, gather_rows
 
 
 def _fetch_rows(dev_arr, idx: np.ndarray) -> np.ndarray:
@@ -104,6 +104,7 @@ def encode_many_to_frames(
     sample_rate: int,
     channels: int,
     compression_level: int = 5,
+    analysis: str = "exact",
 ) -> List[List[Frame]]:
     """Encode MANY files (same rate/channels) in one batched pass.
 
@@ -160,7 +161,7 @@ def encode_many_to_frames(
     nvalid_f = np.asarray(active_nvalid, dtype=np.int64)
 
     frames_out = _encode_active_frames(
-        fsc_batch, nvalid_f, C, kinds, cand_orders, max_order
+        fsc_batch, nvalid_f, C, kinds, cand_orders, max_order, analysis
     )
     for (fidx, fi), frame in zip(active_slots, frames_out):
         all_frames[fidx][fi] = frame
@@ -173,11 +174,18 @@ def encode_many_to_frames(
 PIPELINE_CHUNKS = 2
 
 
-def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
+def _encode_active_frames(
+    fsc, frame_samples, C, kinds, cand_orders, max_order, analysis: str = "exact"
+):
     """Encode a batch of non-silent frames [F', S, C] -> list of Frames.
 
     Runs as PIPELINE_CHUNKS double-buffered sub-batches: every chunk's device
     work is dispatched before any chunk's results are collected.
+
+    analysis: "exact" (host i64-equivalent autocorrelation + f64 Levinson —
+    reference-parity coefficient generation) or "device" (everything on
+    device in f32 — zero host analysis; round-trips stay bit-exact, ratios
+    may drift marginally).
     """
     Fa = fsc.shape[0]
     G = PIPELINE_CHUNKS if Fa >= 2 * PIPELINE_CHUNKS else 1
@@ -188,7 +196,9 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
         if lo >= hi:
             continue
         states.append(
-            _dispatch_chunk(fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders)
+            _dispatch_chunk(
+                fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders, analysis
+            )
         )
     frames_out: List[Frame] = []
     for st in states:
@@ -196,7 +206,7 @@ def _encode_active_frames(fsc, frame_samples, C, kinds, cand_orders, max_order):
     return frames_out
 
 
-def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders):
+def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact"):
     """Host marshal + async device dispatch for one sub-batch."""
     NC = len(kinds)
     spf = fsc.shape[1]
@@ -204,6 +214,26 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders):
         (o for kd, o in zip(kinds, cand_orders) if kd == "lpc"), default=0
     )
     ints = f32_to_i32_np(fsc)  # [F', S, C]
+
+    if analysis == "device":
+        pcm16 = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).astype(np.int16)
+        device_out = encode_select_device(
+            jnp.asarray(pcm16),
+            jnp.asarray(frame_samples.astype(np.int32)),
+            tuple(kinds),
+            tuple(cand_orders),
+        )
+        return {
+            "device_out": device_out[:8],
+            "mid_side_dev": device_out[8],
+            "lanes": None,
+            "pcm16": pcm16,
+            "nvalid": np.repeat(frame_samples, C).astype(np.int32),
+            "frame_samples": frame_samples,
+            "mid_side": None,
+            "Fa": fsc.shape[0],
+            "L": fsc.shape[0] * C,
+        }
     ch = np.ascontiguousarray(np.moveaxis(ints, 2, 1))  # [F', C, S] int32
     Fa = fsc.shape[0]
     nvalid_f = frame_samples
@@ -263,9 +293,7 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders):
     )
     return {
         "device_out": device_out,
-        "coeffs_all": coeffs_all,
-        "shifts_all": shifts_all,
-        "lanes": lanes,
+        "mid_side_dev": None,
         "nvalid": nvalid,
         "frame_samples": frame_samples,
         "mid_side": mid_side,
@@ -276,11 +304,10 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders):
 
 def _collect_chunk(st, C, kinds, cand_orders, max_order):
     """Block on one sub-batch's results; Rice-pack and assemble its frames."""
-    sel_d, k_d, _, r16_d, fits_d, res32_dev = st["device_out"]
-    lanes, nvalid = st["lanes"], st["nvalid"]
-    frame_samples, mid_side = st["frame_samples"], st["mid_side"]
+    sel_d, k_d, _, r16_d, fits_d, res32_dev, winc_d, wins_d = st["device_out"]
+    nvalid = st["nvalid"]
+    frame_samples = st["frame_samples"]
     Fa, L = st["Fa"], st["L"]
-    coeffs_all, shifts_all = st["coeffs_all"], st["shifts_all"]
 
     sel = np.asarray(sel_d)
     ks = np.asarray(k_d)
@@ -289,8 +316,11 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
     if len(misfits):
         residuals[misfits] = _fetch_rows(res32_dev, misfits)
 
-    win_coeffs = coeffs_all[np.arange(L), sel]
-    win_shifts = shifts_all[np.arange(L), sel]
+    win_coeffs = np.asarray(winc_d)
+    win_shifts = np.asarray(wins_d)
+    mid_side = (
+        st["mid_side"] if st["mid_side"] is not None else np.asarray(st["mid_side_dev"])
+    )
 
     is_rice = sel > 0
     rice_rows = np.flatnonzero(is_rice)
@@ -311,7 +341,9 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
             ci = int(sel[lane])
             kd = kinds[ci]
             if kd == "raw":
-                raw_bytes = lanes[lane, :n].astype("<i2").tobytes()
+                # Raw winners' residual rows ARE the lane samples (candidate 0
+                # has zero coefficients); i16 wrap matches Rust `as i16`.
+                raw_bytes = residuals[lane, :n].astype("<i2").tobytes()
                 chans.append(ChannelData.raw(raw_bytes))
             else:
                 all_raw = False
@@ -366,10 +398,18 @@ def encode_many(
     bit_depth: int = 16,
     compression_level: int = 5,
     metadata_list=None,
+    analysis: str = "exact",
 ) -> List[bytes]:
-    """Bulk encode: many files, one device pass, one Rice-pack pass."""
+    """Bulk encode: many files, one device pass, one Rice-pack pass.
+
+    analysis="device" runs the mid/side decision + autocorrelation + Levinson
+    on device too (f32): zero host analysis, bit-exact round-trips, ratios
+    may drift marginally from the reference-parity "exact" path.
+    """
     level = min(int(compression_level), 9)
-    frames_per_file = encode_many_to_frames(samples_list, sample_rate, channels, level)
+    frames_per_file = encode_many_to_frames(
+        samples_list, sample_rate, channels, level, analysis
+    )
     metas = metadata_list or [b""] * len(frames_per_file)
     return [
         writer.write(int(sample_rate), int(channels), int(bit_depth), level, frames, meta)

@@ -78,6 +78,86 @@ def reconstruct(residuals, coeffs, shifts, orders, is_fixed, unroll: int = 8):
     return out.T
 
 
+def autocorrelation_device(lanes, nvalid, max_order: int):
+    """On-device autocorrelation lags 0..max_order in float32.
+
+    The cast i32->f32 is exact for the codec's sample domain (|s| < 2^17);
+    the f32 dot products are approximate, which only affects which
+    coefficients the Levinson recursion *proposes* — round-trip exactness
+    never depends on them because coefficients are stored in the stream.
+    lanes [L, S] i32, nvalid [L] -> [L, max_order+1] f32.
+    """
+    L, S = lanes.shape
+    mask = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid[:, None]
+    x = jnp.where(mask, lanes, 0).astype(jnp.float32)
+    cols = [jnp.sum(x * x, axis=1)]
+    for lag in range(1, max_order + 1):
+        cols.append(jnp.sum(x[:, lag:] * x[:, : S - lag], axis=1))
+    return jnp.stack(cols, axis=1)
+
+
+def levinson_device(ac, max_order: int):
+    """On-device Levinson-Durbin for every order 1..max_order, vectorized
+    across lanes (f32 analog of :func:`levinson_durbin_all_orders`; same
+    instability rejection and fixed-point quantization rules,
+    lpc.rs:225-276).
+
+    ac: [L, max_order+1] f32. Returns (coeffs_fp [L, max_order, MAX_ORDER]
+    i32, shifts [L, max_order] i32, valid [L, max_order] bool).
+    """
+    L = ac.shape[0]
+    j_idx = jnp.arange(MAX_ORDER, dtype=jnp.int32)
+
+    def step(carry, i):
+        coeffs, error, alive = carry
+        # lam = ac[i+1] - sum_{j<i} coeffs[j] * ac[i-j]
+        gather = jnp.take_along_axis(
+            ac, jnp.clip(i - j_idx, 0, ac.shape[1] - 1)[None, :].repeat(L, 0), axis=1
+        )
+        lam = ac[:, i + 1] - jnp.sum(
+            jnp.where(j_idx[None, :] < i, coeffs * gather, 0.0), axis=1
+        )
+        dead = jnp.abs(error) < 1e-10
+        alive = alive & ~dead
+        gamma = jnp.where(alive, lam / jnp.where(error == 0, 1.0, error), 0.0)
+        alive = alive & (jnp.abs(gamma) < 1.0)
+
+        # new[j] = coeffs[j] - gamma*coeffs[i-1-j] for j<i; new[i] = gamma
+        rev = jnp.take_along_axis(
+            coeffs, jnp.clip(i - 1 - j_idx, 0, MAX_ORDER - 1)[None, :].repeat(L, 0), axis=1
+        )
+        new = jnp.where(
+            j_idx[None, :] < i,
+            coeffs - gamma[:, None] * rev,
+            jnp.where(j_idx[None, :] == i, gamma[:, None], coeffs),
+        )
+        coeffs = jnp.where(alive[:, None], new, coeffs)
+        error = error * (1.0 - gamma * gamma)
+
+        # Quantize the order-(i+1) snapshot.
+        in_order = j_idx[None, :] <= i
+        c_now = jnp.where(in_order, coeffs, 0.0)
+        max_c = jnp.max(jnp.abs(c_now), axis=1)
+        ok = alive & (max_c > 0) & jnp.isfinite(max_c)
+        shift = jnp.floor(jnp.log2((1 << 30) / jnp.where(ok, max_c, 1.0)))
+        shift = jnp.clip(shift, 0, 15).astype(jnp.int32)
+        scaled = c_now * jnp.exp2(shift.astype(jnp.float32))[:, None]
+        q = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+        q = jnp.clip(q, -(2.0**31), 2.0**31 - 1).astype(jnp.int32)
+        q = jnp.where(ok[:, None], q, 0)
+        return (coeffs, error, alive), (q, shift, ok)
+
+    init = (jnp.zeros((L, MAX_ORDER), jnp.float32), ac[:, 0], ac[:, 0] != 0.0)
+    _, (qs, shifts, valid) = jax.lax.scan(
+        step, init, jnp.arange(max_order, dtype=jnp.int32)
+    )
+    return (
+        jnp.moveaxis(qs, 0, 1),      # [L, max_order, MAX_ORDER]
+        jnp.moveaxis(shifts, 0, 1),  # [L, max_order]
+        jnp.moveaxis(valid, 0, 1),   # [L, max_order]
+    )
+
+
 def levinson_durbin_all_orders(autocorr: np.ndarray, max_order: int):
     """Vectorized (host, float64) Levinson-Durbin producing coefficients for
     *every* order 1..max_order in one recursion.

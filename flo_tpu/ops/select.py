@@ -167,10 +167,31 @@ def encode_select_step(
 
     take = lambda t: jnp.take_along_axis(t, best_ci[:, None], axis=1)[:, 0]
     win_c = jnp.take_along_axis(coeffs_all, best_ci[:, None, None], axis=1)[:, 0]
+    win_shift = take(shifts_all)
     residuals = residuals_one(
-        lanes, nvalid, win_c, take(shifts_all), take(orders_all), take(fixed_all)
+        lanes, nvalid, win_c, win_shift, take(orders_all), take(fixed_all)
     )
-    return best_ci, best_k, best_size, residuals
+    return best_ci, best_k, best_size, residuals, win_c, win_shift
+
+
+def _lanes_from_pcm16(pcm16, mid_side):
+    """[F, C, S] i16 PCM + per-frame mid/side flags -> [F*C, S] i32 lanes
+    (exact int32 math on device)."""
+    F, C, S = pcm16.shape
+    p = pcm16.astype(jnp.int32)
+    if C == 2:
+        mid = p[:, 0] + p[:, 1]
+        side = p[:, 0] - p[:, 1]
+        p = jnp.where(mid_side[:, None, None], jnp.stack([mid, side], axis=1), p)
+    return p.reshape(F * C, S)
+
+
+def _transport_outputs(sel, k, size, residuals, win_c, win_shift):
+    r16 = residuals.astype(jnp.int16)
+    rmin = jnp.min(residuals, axis=1)
+    rmax = jnp.max(residuals, axis=1)
+    fits = (rmin >= -32768) & (rmax <= 32767)
+    return sel, k, size, r16, fits, residuals, win_c, win_shift
 
 
 @partial(jax.jit, static_argnames=("is_lpc",))
@@ -181,32 +202,80 @@ def encode_select_pcm16(
     """Transport-optimized candidate search.
 
     Takes i16 PCM [F, C, S] + per-frame mid/side flags (halving the upload vs
-    i32 mid/side lanes — the lane build is exact int32 math on device) and
-    returns the winner residuals as i16 [L, S] plus per-lane `fits` flags
-    (the i32 residual tensor is also returned, device-resident, so the host
-    can gather the rare lanes whose residuals exceed i16 with a tiny
-    follow-up fetch). Halves both directions of the tunnel traffic.
+    i32 mid/side lanes) and returns winner residuals as i16 [L, S] plus
+    per-lane `fits` flags (the i32 residual tensor is also returned,
+    device-resident, so the host can gather the rare lanes whose residuals
+    exceed i16 with a tiny follow-up fetch), along with the winning
+    coefficients/shift per lane. Halves both directions of tunnel traffic.
     """
-    F, C, S = pcm16.shape
-    p = pcm16.astype(jnp.int32)
-    if C == 2:
-        mid = p[:, 0] + p[:, 1]
-        side = p[:, 0] - p[:, 1]
-        lanes_fc = jnp.where(
-            mid_side[:, None, None], jnp.stack([mid, side], axis=1), p
-        )
-    else:
-        lanes_fc = p
-    lanes = lanes_fc.reshape(F * C, S)
+    C = pcm16.shape[1]
+    lanes = _lanes_from_pcm16(pcm16, mid_side)
     nvalid = jnp.repeat(nvalid_f.astype(jnp.int32), C)
-
-    sel, k, size, residuals = encode_select_step(
+    out = encode_select_step(
         lanes, nvalid, coeffs_all, shifts_all, orders_all, fixed_all, cand_ok, is_lpc
     )
-    rmin = jnp.min(residuals, axis=1)
-    rmax = jnp.max(residuals, axis=1)
-    fits = (rmin >= -32768) & (rmax <= 32767)
-    return sel, k, size, residuals.astype(jnp.int16), fits, residuals
+    return _transport_outputs(*out)
+
+
+@partial(jax.jit, static_argnames=("kinds", "cand_orders"))
+def encode_select_device(pcm16, nvalid_f, kinds: tuple, cand_orders: tuple):
+    """Fully-on-device candidate search: the mid/side decision,
+    autocorrelation, and Levinson-Durbin all run on device (f32), so the
+    host does ZERO analysis work.
+
+    The f32 math may propose slightly different coefficients (and flip
+    borderline mid/side decisions) vs the exact host path
+    (lossless/encoder.py) — round-trips stay bit-exact because both the
+    coefficients and the mid/side flag are stored in the stream; only
+    compression ratio can drift marginally. kinds/cand_orders: the static
+    candidate plan (lossless/encoder._candidate_plan), candidate 0 = raw.
+
+    Returns the usual transport outputs plus the mid/side flags [F].
+    """
+    F, C, S = pcm16.shape
+    if C == 2:
+        l = pcm16[:, 0].astype(jnp.float32)
+        r = pcm16[:, 1].astype(jnp.float32)
+        var_l = jnp.sum(l * l, axis=1)
+        var_r = jnp.sum(r * r, axis=1)
+        side = l - r
+        var_side = jnp.sum(side * side, axis=1)
+        mid_side = var_side < (var_l + var_r) * 0.5
+    else:
+        mid_side = jnp.zeros((F,), bool)
+    lanes = _lanes_from_pcm16(pcm16, mid_side)
+    nvalid = jnp.repeat(nvalid_f.astype(jnp.int32), C)
+    L = lanes.shape[0]
+    NC = len(kinds)
+
+    max_order = max(
+        (o for kd, o in zip(kinds, cand_orders) if kd == "lpc"), default=0
+    )
+    coeffs_all = jnp.zeros((L, NC, lpc.MAX_ORDER), jnp.int32)
+    shifts_all = jnp.zeros((L, NC), jnp.int32)
+    orders_all = jnp.zeros((L, NC), jnp.int32)
+    fixed_all = jnp.zeros((L, NC), bool)
+    cand_ok = jnp.ones((L, NC), bool)
+
+    if max_order > 0:
+        ac = lpc.autocorrelation_device(lanes, nvalid, max_order)
+        lc, ls, lv = lpc.levinson_device(ac, max_order)
+    for ci, (kd, o) in enumerate(zip(kinds, cand_orders)):
+        if kd == "fixed":
+            coeffs_all = coeffs_all.at[:, ci, :].set(jnp.asarray(lpc._FIXED_COEFFS[o]))
+            orders_all = orders_all.at[:, ci].set(o)
+            fixed_all = fixed_all.at[:, ci].set(True)
+        elif kd == "lpc":
+            coeffs_all = coeffs_all.at[:, ci].set(lc[:, o - 1])
+            shifts_all = shifts_all.at[:, ci].set(ls[:, o - 1])
+            orders_all = orders_all.at[:, ci].set(o)
+            cand_ok = cand_ok.at[:, ci].set(lv[:, o - 1] & (nvalid > o))
+
+    is_lpc = tuple(kd == "lpc" for kd in kinds)
+    out = encode_select_step(
+        lanes, nvalid, coeffs_all, shifts_all, orders_all, fixed_all, cand_ok, is_lpc
+    )
+    return _transport_outputs(*out) + (mid_side,)
 
 
 @partial(jax.jit, static_argnames=())

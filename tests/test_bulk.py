@@ -51,6 +51,27 @@ class TestBulkLossless:
         assert reader.read(out[2]).header.total_samples == 0
 
 
+class TestDeviceAnalysis:
+    """analysis='device': zero host analysis, still bit-exact round-trips."""
+
+    def test_bit_exact_and_size_drift(self, files):
+        rate, fs = files
+        exact = lle.encode_many(fs, rate, 2, 16, 8)
+        dev = lle.encode_many(fs, rate, 2, 16, 8, analysis="device")
+        for s, e_blob, d_blob in zip(fs, exact, dev):
+            ints = lld.decode_file_i32(reader.read(d_blob))
+            np.testing.assert_array_equal(ints, f32_to_i32_np(s).reshape(-1, 2))
+            assert abs(len(d_blob) - len(e_blob)) <= 0.02 * len(e_blob)
+
+    def test_mono_and_level0(self, files):
+        rate, fs = files
+        mono = [f[0::2].copy() for f in fs]
+        dev = lle.encode_many(mono, rate, 1, 16, 0, analysis="device")
+        for s, d in zip(mono, dev):
+            ints = lld.decode_file_i32(reader.read(d))
+            np.testing.assert_array_equal(ints[:, 0], f32_to_i32_np(s))
+
+
 class TestBulkLossy:
     def test_bulk_sizes_match_single(self, files):
         rate, fs = files
