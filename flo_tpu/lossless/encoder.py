@@ -14,8 +14,10 @@ candidates in ONE jitted program (ops/select.py):
 3. Device: exact residuals, exact Rice parameter, exact encoded sizes,
    argmin selection (reference evaluation order raw -> fixed 0..4 ->
    LPC 5..max with strict-< tie-break, encoder.rs:173-217; instability
-   rejection max|r| > 1e6, encoder.rs:269-271), winner residual streams.
-4. Host: vectorized Rice bit-packing (core/rice_host.py) + container writer.
+   rejection max|r| > 1e6, encoder.rs:269-271), winner residual streams,
+   and the Rice/raw WIRE BYTES themselves (ops/ricepack.py) — only
+   entropy-coded payloads cross the device->host wire.
+4. Host: slice per-lane payloads + container writer.
 
 Deliberate deviation from the reference (bug, not behavior): encoder.rs:104-119
 types a frame Raw when every channel's best *order* is 0 — which includes
@@ -35,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..container import writer
-from ..core import rice_host
 from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
     FRAME_FLAG_MID_SIDE,
@@ -47,19 +48,8 @@ from ..core.constants import (
 )
 from ..core.convert import f32_to_i32_np
 from ..core.types import ChannelData, Frame
-from ..ops import lpc
-from ..ops.select import encode_select_device, encode_select_pcm16, gather_rows
-
-
-def _fetch_rows(dev_arr, idx: np.ndarray) -> np.ndarray:
-    """Gather misfit rows with a power-of-two-padded index (stable jit shape)."""
-    m = len(idx)
-    pad = 1 << max(m - 1, 0).bit_length()
-    idx_p = np.zeros(pad, np.int32)
-    idx_p[:m] = idx
-    import jax.numpy as _jnp
-
-    return np.asarray(gather_rows(dev_arr, _jnp.asarray(idx_p)))[:m]
+from ..ops import lpc, ricepack
+from ..ops.select import encode_select_device, encode_select_pcm16
 
 
 def _candidate_plan(compression_level: int):
@@ -189,6 +179,8 @@ def _encode_active_frames(
     """
     Fa = fsc.shape[0]
     G = PIPELINE_CHUNKS if Fa >= 2 * PIPELINE_CHUNKS else 1
+    # Keep every chunk under the device packer's int32 bit-index bound.
+    G = max(G, -(-(Fa * C * fsc.shape[1]) // ricepack.MAX_BATCH_SAMPLES))
     chunk = -(-Fa // G)
     states = []
     for g in range(G):
@@ -224,10 +216,8 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
             tuple(cand_orders),
         )
         return {
-            "device_out": device_out[:8],
-            "mid_side_dev": device_out[8],
-            "lanes": None,
-            "pcm16": pcm16,
+            "device_out": device_out[:7],
+            "mid_side_dev": device_out[7],
             "nvalid": np.repeat(frame_samples, C).astype(np.int32),
             "frame_samples": frame_samples,
             "mid_side": None,
@@ -277,7 +267,7 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
             cand_ok[:, ci] = lpc_valid[:, o - 1] & (nvalid > o)
 
     is_lpc = tuple(kd == "lpc" for kd in kinds)
-    # i16 transport both ways (see ops/select.py encode_select_pcm16); pcm is
+    # i16 upload + entropy-packed download (see ops/select.py); pcm is
     # i16-representable by construction (f32_to_i32 clamps to [-32768, 32767]).
     pcm16 = np.moveaxis(ints, 2, 1).astype(np.int16)
     device_out = encode_select_pcm16(
@@ -303,33 +293,28 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
 
 
 def _collect_chunk(st, C, kinds, cand_orders, max_order):
-    """Block on one sub-batch's results; Rice-pack and assemble its frames."""
-    sel_d, k_d, _, r16_d, fits_d, res32_dev, winc_d, wins_d = st["device_out"]
-    nvalid = st["nvalid"]
+    """Block on one sub-batch's results; slice the device-packed wire
+    payloads and assemble its frames (no host entropy coding)."""
+    sel_d, k_d, size_d, packed_dev, lane_bytes_d, winc_d, wins_d = st["device_out"]
     frame_samples = st["frame_samples"]
     Fa, L = st["Fa"], st["L"]
 
     sel = np.asarray(sel_d)
     ks = np.asarray(k_d)
-    residuals = np.asarray(r16_d).astype(np.int32)
-    misfits = np.flatnonzero(~np.asarray(fits_d))
-    if len(misfits):
-        residuals[misfits] = _fetch_rows(res32_dev, misfits)
+    lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+    # The packer's byte counts are computed independently of selection's exact
+    # sizes; equality is a cheap end-to-end check of the device bit packing
+    # (and of its 16-bit/sample buffer bound, which winners cannot exceed).
+    if not np.array_equal(lane_bytes, np.asarray(size_d).astype(np.int64)):
+        raise AssertionError("device Rice packing size mismatch")
+    lane_off = np.cumsum(lane_bytes) - lane_bytes
+    pb = ricepack.fetch_prefix(packed_dev, int(lane_bytes.sum())).tobytes()
 
     win_coeffs = np.asarray(winc_d)
     win_shifts = np.asarray(wins_d)
     mid_side = (
         st["mid_side"] if st["mid_side"] is not None else np.asarray(st["mid_side_dev"])
     )
-
-    is_rice = sel > 0
-    rice_rows = np.flatnonzero(is_rice)
-    blobs: dict[int, bytes] = {}
-    if len(rice_rows):
-        packed = rice_host.encode_batch(
-            residuals[rice_rows], ks[rice_rows], nvalid[rice_rows]
-        )
-        blobs = dict(zip(rice_rows.tolist(), packed))
 
     frames_out: List[Frame] = []
     for idx in range(Fa):
@@ -340,11 +325,11 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
             lane = idx * C + c
             ci = int(sel[lane])
             kd = kinds[ci]
+            blob = pb[lane_off[lane] : lane_off[lane] + lane_bytes[lane]]
             if kd == "raw":
-                # Raw winners' residual rows ARE the lane samples (candidate 0
-                # has zero coefficients); i16 wrap matches Rust `as i16`.
-                raw_bytes = residuals[lane, :n].astype("<i2").tobytes()
-                chans.append(ChannelData.raw(raw_bytes))
+                # Raw winners' packed payload IS the verbatim LE16 samples
+                # (i16 wrap matches Rust `as i16`; see ops/ricepack.py).
+                chans.append(ChannelData.raw(blob))
             else:
                 all_raw = False
                 k = int(ks[lane])
@@ -355,7 +340,7 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
                             shift_bits=FIXED_PREDICTOR_MARKER + cand_orders[ci],
                             residual_encoding=ResidualEncoding.RICE,
                             rice_parameter=k,
-                            residuals=blobs[lane],
+                            residuals=blob,
                         )
                     )
                 else:
@@ -366,7 +351,7 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
                             shift_bits=int(win_shifts[lane]),
                             residual_encoding=ResidualEncoding.RICE,
                             rice_parameter=k,
-                            residuals=blobs[lane],
+                            residuals=blob,
                         )
                     )
         ftype = FrameType.RAW if all_raw else FrameType.from_order(max_order)

@@ -186,12 +186,16 @@ def _lanes_from_pcm16(pcm16, mid_side):
     return p.reshape(F * C, S)
 
 
-def _transport_outputs(sel, k, size, residuals, win_c, win_shift):
-    r16 = residuals.astype(jnp.int16)
-    rmin = jnp.min(residuals, axis=1)
-    rmax = jnp.max(residuals, axis=1)
-    fits = (rmin >= -32768) & (rmax <= 32767)
-    return sel, k, size, r16, fits, residuals, win_c, win_shift
+def _transport_outputs(sel, k, size, residuals, win_c, win_shift, nvalid):
+    """Pack every winner's wire payload ON DEVICE (ops/ricepack.py): Rice
+    streams for selected candidates, verbatim LE16 for raw winners. The host
+    downloads only the packed bytes + tiny per-lane tables — entropy-coded
+    size instead of full i16 residual tensors (the round-1 wire bottleneck).
+    """
+    from .ricepack import pack_lanes
+
+    packed, lane_bytes, _ = pack_lanes(residuals, k, nvalid, sel == 0)
+    return sel, k, size, packed, lane_bytes, win_c, win_shift
 
 
 @partial(jax.jit, static_argnames=("is_lpc",))
@@ -202,11 +206,8 @@ def encode_select_pcm16(
     """Transport-optimized candidate search.
 
     Takes i16 PCM [F, C, S] + per-frame mid/side flags (halving the upload vs
-    i32 mid/side lanes) and returns winner residuals as i16 [L, S] plus
-    per-lane `fits` flags (the i32 residual tensor is also returned,
-    device-resident, so the host can gather the rare lanes whose residuals
-    exceed i16 with a tiny follow-up fetch), along with the winning
-    coefficients/shift per lane. Halves both directions of tunnel traffic.
+    i32 mid/side lanes) and returns the winners' wire payloads as one packed
+    byte buffer (see _transport_outputs) plus per-lane selection tables.
     """
     C = pcm16.shape[1]
     lanes = _lanes_from_pcm16(pcm16, mid_side)
@@ -214,7 +215,7 @@ def encode_select_pcm16(
     out = encode_select_step(
         lanes, nvalid, coeffs_all, shifts_all, orders_all, fixed_all, cand_ok, is_lpc
     )
-    return _transport_outputs(*out)
+    return _transport_outputs(*out, nvalid)
 
 
 @partial(jax.jit, static_argnames=("kinds", "cand_orders"))
@@ -275,7 +276,7 @@ def encode_select_device(pcm16, nvalid_f, kinds: tuple, cand_orders: tuple):
     out = encode_select_step(
         lanes, nvalid, coeffs_all, shifts_all, orders_all, fixed_all, cand_ok, is_lpc
     )
-    return _transport_outputs(*out) + (mid_side,)
+    return _transport_outputs(*out, nvalid) + (mid_side,)
 
 
 @partial(jax.jit, static_argnames=())
