@@ -16,7 +16,7 @@ import numpy as np
 
 from ..container import reader
 from ..core.types import FloFile
-from ..ops import mdct, psycho
+from ..ops import compact, mdct, psycho
 from .sparse import deserialize_sparse
 
 _BLOCK_SIZES = {0: 2048, 1: 256, 2: 2048, 3: 2048}  # Long/Short/Start/Stop
@@ -78,19 +78,21 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
     return n, sf, _sparse_decode_rows(streams, n // 2)
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "n"))
-def _decode_blocks_f16(q, sf, sample_rate: int, n: int):
-    """Transport variant: float16 downloads (quantization ~1e-4, far below
-    codec noise at every preset) for bandwidth-limited hosts."""
-    return _decode_blocks(q, sf, sample_rate, n).astype(jnp.float16)
-
-
-@partial(jax.jit, static_argnames=("sample_rate", "n"))
-def _decode_blocks_i16(q, sf, sample_rate: int, n: int):
-    """Transport variant: i16 downloads (x32767 quantization, ~1.5e-5 error —
-    two orders below codec noise even at the transparent preset)."""
+@partial(jax.jit, static_argnames=("sample_rate", "n", "out_dtype"))
+def _decode_blocks_compact(entries, row_nnz, total, sf, sample_rate: int, n: int,
+                           out_dtype: str):
+    """Sparse-upload variant: the host ships 4 bytes per nonzero coefficient
+    (ops/compact.py) and the dense [N, T, C, n2] grid is rebuilt ON DEVICE,
+    then dequantized/IMDCT'd as usual. out_dtype picks the download form."""
+    N, T, C = sf.shape[:3]
+    dense = compact.expand_nonzeros(entries, row_nnz, total, N * T * C, n // 2)
+    q = dense.reshape(N, T, C, n // 2)
     s = _decode_blocks(q, sf, sample_rate, n)
-    return jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
+    if out_dtype == "float16":
+        return s.astype(jnp.float16)
+    if out_dtype == "int16":
+        return jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
+    return s
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -151,30 +153,50 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
             all_streams.extend(streams)
     all_rows = _sparse_decode_rows(all_streams, n // 2)
 
-    q = np.zeros((N, t_max, C, n // 2), dtype=np.int16)
     sf = np.zeros((N, t_max, C, psycho.NUM_BARK_BANDS), dtype=np.float32)
-    row = 0
     for i, parsed in enumerate(parsed_files):
         for t, (nn, s, streams) in enumerate(parsed):
             if nn != n or len(streams) != C or flos[i].header.sample_rate != rate:
                 raise ValueError("decode_many requires homogeneous files")
             sf[i, t] = s
-            q[i, t] = all_rows[row : row + C]
-            row += C
-    if transport_dtype == np.float16:
-        fn = _decode_blocks_f16
-    elif transport_dtype == np.int16:
-        fn = _decode_blocks_i16
-    else:
-        fn = _decode_blocks
+
+    # Sparse upload: 4 bytes per nonzero coefficient instead of the dense
+    # i16 grid (ops/compact.py). Stream order == (file, frame, channel) ==
+    # the padded grid's row-major order (missing frame tails are zero rows).
+    rid, cid = np.nonzero(all_rows)
+    entries_all = compact.make_entries(cid.astype(np.int32), all_rows[rid, cid])
+    stream_nnz = np.bincount(rid, minlength=len(all_streams)).astype(np.int64)
+    entry_off = np.concatenate([[0], np.cumsum(stream_nnz)])
+    counts = np.array([len(p) for p in parsed_files], dtype=np.int64)
+    s0 = np.concatenate([[0], np.cumsum(counts * C)])
+
+    out_dtype = {np.float16: "float16", np.int16: "int16"}.get(
+        transport_dtype, "float32"
+    )
     # Double-buffer over two file sub-batches: the second chunk's upload and
     # IMDCT overlap the first chunk's download.
     half = N // 2 if N >= 4 else N
     handles = []
     for lo in range(0, N, half):
         hi = min(lo + half, N)
+        g = np.zeros((hi - lo, t_max, C), np.int32)
+        for i in range(lo, hi):
+            g[i - lo, : counts[i]] = stream_nnz[s0[i] : s0[i + 1]].reshape(-1, C)
+        e_lo, e_hi = int(entry_off[s0[lo]]), int(entry_off[s0[hi]])
         handles.append(
-            (lo, hi, fn(jnp.asarray(q[lo:hi]), jnp.asarray(sf[lo:hi]), int(rate), n))
+            (
+                lo,
+                hi,
+                _decode_blocks_compact(
+                    jnp.asarray(compact.pad_entries(entries_all[e_lo:e_hi])),
+                    jnp.asarray(g.reshape(-1)),
+                    jnp.int32(e_hi - e_lo),
+                    jnp.asarray(sf[lo:hi]),
+                    int(rate),
+                    n,
+                    out_dtype,
+                ),
+            )
         )
     outs = [None] * N
     for lo, hi, h in handles:

@@ -19,7 +19,7 @@ import numpy as np
 from ..container import writer
 from ..core.constants import FrameType
 from ..core.types import ChannelData, Frame
-from ..ops import mdct, psycho
+from ..ops import compact, mdct, psycho
 from .sparse import serialize_sparse
 
 BLOCK = mdct.LONG_N  # always Long/2048 + Vorbis (encoder.rs:36-53)
@@ -80,6 +80,19 @@ def _encode_padded(padded, sample_rate: int, thr: float):
     blocks = jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)  # [C, T, 2048]
     coeffs = mdct.forward(blocks, BLOCK, WINDOW)
     return _quantize_coeffs(coeffs, band, onehot, sample_rate, thr)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "thr"))
+def _encode_padded_compact(padded, sample_rate: int, thr: float):
+    """_encode_padded + device nonzero compaction: the host downloads 4 bytes
+    per surviving coefficient instead of the dense i16 tensor (most
+    coefficients are zeroed by the psychoacoustic gate — see ops/compact.py).
+
+    Returns (entries i32 [C*T*1024] prefix-packed, row_nnz [C*T], sf)."""
+    q, sf = _encode_padded(padded, sample_rate, thr)
+    Cl, T, n2 = q.shape
+    entries, row_nnz = compact.compact_nonzeros(q.reshape(Cl * T, n2))
+    return entries, row_nnz, sf
 
 
 def encode_sf_u16(sf: np.ndarray) -> np.ndarray:
@@ -158,12 +171,26 @@ def encode_many_to_frames(
     for lo in range(0, N * C, half):
         hi = min(lo + half, N * C)
         handles.append(
-            _encode_padded(
-                jnp.asarray(stacked[lo:hi]), int(sample_rate), smr_threshold(quality)
+            (
+                hi - lo,
+                _encode_padded_compact(
+                    jnp.asarray(stacked[lo:hi]), int(sample_rate), smr_threshold(quality)
+                ),
             )
         )
-    q = np.concatenate([np.asarray(h[0]) for h in handles])  # [N*C, T, 1024]
-    sf_u16 = encode_sf_u16(np.concatenate([np.asarray(h[1]) for h in handles]))
+    q_parts, sf_parts = [], []
+    for nl, (entries_d, row_nnz_d, sf_d) in handles:
+        row_nnz = np.asarray(row_nnz_d)
+        sf_parts.append(np.asarray(sf_d))
+        entries = compact.fetch_prefix(entries_d, int(row_nnz.sum()))
+        cols, vals = compact.split_entries(entries)
+        R = nl * t_max
+        qq = np.zeros((R, HOP), np.int16)
+        if len(cols):
+            qq[np.repeat(np.arange(R), row_nnz), cols] = vals
+        q_parts.append(qq.reshape(nl, t_max, HOP))
+    q = np.concatenate(q_parts)  # [N*C, T, 1024]
+    sf_u16 = encode_sf_u16(np.concatenate(sf_parts))
 
     # One native sparse-RLE pass over every (lane, hop) row.
     from .. import native
