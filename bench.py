@@ -110,15 +110,22 @@ def main() -> None:
     q_med = QUALITY_U8_TO_F32[1]
 
     def pass_once():
-        d_ll = lle.encode_many(clips, RATE, CHANNELS, 16, 5)
-        o_ll = lld.decode_many([_reader.read(d) for d in d_ll])
-        # f16 transport on the lossy bulk path: ~1e-4 quantization, far below
-        # codec noise; halves the tunnel traffic.
-        d_lo = loe.encode_many(clips, RATE, CHANNELS, q_med, transport_dtype=np.float16)
-        o_lo = lod.decode_many(
+        # Cross-pipeline overlap (futures): both encodes dispatch before
+        # either collects, and each decode dispatches as soon as its encode's
+        # bytes exist — the duplex wire carries uploads and downloads of
+        # different pipelines concurrently. f16 upload transport on the lossy
+        # encode: ~1e-4 quantization, far below codec noise.
+        h_ll = lle.encode_many_async(clips, RATE, CHANNELS, 16, 5)
+        h_lo = loe.encode_many_async(
+            clips, RATE, CHANNELS, q_med, transport_dtype=np.float16
+        )
+        d_ll = h_ll.result()
+        h_lld = lld.decode_many_async([_reader.read(d) for d in d_ll])
+        d_lo = h_lo.result()
+        h_lod = lod.decode_many_async(
             [_reader.read(d) for d in d_lo], transport_dtype=np.int16
         )
-        return d_ll, o_ll, d_lo, o_lo
+        return d_ll, h_lld.result(), d_lo, h_lod.result()
 
     # Warmup: compile all jit programs for these shapes.
     data_ll, out_ll, data_lo, out_lo = pass_once()

@@ -14,11 +14,26 @@ import numpy as np
 
 from .container import reader
 from .core.constants import FrameType
+from .futures import BulkFuture
 from .lossless import decoder as _lossless_decoder
 from .lossless import encoder as _lossless_encoder
 from .lossy import decoder as _lossy_decoder
 from .lossy import encoder as _lossy_encoder
 from .lossy.presets import QUALITY_U8_TO_F32
+
+
+def encode_many_async(
+    samples_list: Sequence[np.ndarray],
+    sample_rate: int,
+    channels: int,
+    bit_depth: int = 16,
+    compression_level: int = 5,
+    metadata_list: Optional[Sequence[bytes]] = None,
+) -> BulkFuture:
+    """Lossless bulk encode, dispatched immediately (futures.BulkFuture)."""
+    return _lossless_encoder.encode_many_async(
+        samples_list, sample_rate, channels, bit_depth, compression_level, metadata_list
+    )
 
 
 def encode_many(
@@ -29,9 +44,27 @@ def encode_many(
     compression_level: int = 5,
     metadata_list: Optional[Sequence[bytes]] = None,
 ) -> List[bytes]:
-    """Lossless bulk encode (byte-identical to per-file `encode`)."""
+    """Lossless bulk encode. Defaults to on-device analysis (bit-exact
+    round-trips; pass analysis="exact" via lossless.encoder.encode_many for
+    output byte-identical to the per-file `encode`)."""
     return _lossless_encoder.encode_many(
         samples_list, sample_rate, channels, bit_depth, compression_level, metadata_list
+    )
+
+
+def encode_lossy_many_async(
+    samples_list: Sequence[np.ndarray],
+    sample_rate: int,
+    channels: int,
+    quality: int = 2,
+    metadata_list: Optional[Sequence[bytes]] = None,
+    transport_dtype=np.float32,
+) -> BulkFuture:
+    """Lossy bulk encode, dispatched immediately; quality is the u8 preset."""
+    q = QUALITY_U8_TO_F32[min(int(quality), 4)]
+    return _lossy_encoder.encode_many_async(
+        samples_list, sample_rate, channels, q, metadata_list,
+        transport_dtype=transport_dtype,
     )
 
 
@@ -51,9 +84,10 @@ def encode_lossy_many(
     )
 
 
-def decode_many(datas: Sequence[bytes]) -> List[np.ndarray]:
+def decode_many_async(datas: Sequence[bytes]) -> BulkFuture:
     """Bulk auto-detecting decode: groups files into lossless/lossy batches
-    (each group = one device pass) and returns outputs in input order."""
+    (each group = one dispatched device pass); result() returns outputs in
+    input order."""
     flos = [reader.read(d) for d in datas]
     is_lossy = [
         any(f.frame_type == int(FrameType.TRANSFORM) for f in flo.frames) for flo in flos
@@ -61,9 +95,9 @@ def decode_many(datas: Sequence[bytes]) -> List[np.ndarray]:
     outs: List[np.ndarray] = [np.zeros(0, np.float32)] * len(flos)
     ll = [i for i, v in enumerate(is_lossy) if not v]
     lo = [i for i, v in enumerate(is_lossy) if v]
+    pending = []  # (indices, future)
     if ll:
-        for i, out in zip(ll, _lossless_decoder.decode_many([flos[i] for i in ll])):
-            outs[i] = out
+        pending.append((ll, _lossless_decoder.decode_many_async([flos[i] for i in ll])))
     if lo:
         # Lossy bulk needs homogeneous rate/channels; sub-group accordingly.
         groups: dict = {}
@@ -71,6 +105,19 @@ def decode_many(datas: Sequence[bytes]) -> List[np.ndarray]:
             key = (flos[i].header.sample_rate, flos[i].header.channels)
             groups.setdefault(key, []).append(i)
         for idxs in groups.values():
-            for i, out in zip(idxs, _lossy_decoder.decode_many([flos[i] for i in idxs])):
+            pending.append(
+                (idxs, _lossy_decoder.decode_many_async([flos[i] for i in idxs]))
+            )
+
+    def fin() -> List[np.ndarray]:
+        for idxs, fut in pending:
+            for i, out in zip(idxs, fut.result()):
                 outs[i] = out
-    return outs
+        return outs
+
+    return BulkFuture(fin)
+
+
+def decode_many(datas: Sequence[bytes]) -> List[np.ndarray]:
+    """Blocking form of decode_many_async."""
+    return decode_many_async(datas).result()

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..container import reader
 from ..core import rice_host
+from ..futures import BulkFuture
 from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
     FrameType,
@@ -162,9 +163,10 @@ def _decode_lanes_i16(rows16, mis_rows, mis_idx, coeffs, shifts, orders, is_fixe
     return fcs.astype(jnp.int16), fits, fcs
 
 
-def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
+def decode_many_async(flos: list[FloFile]) -> BulkFuture:
     """Bulk decode: every file's lanes in one reconstruction scan per channel
-    count, with i16 transport in both directions (see _decode_lanes_i16)."""
+    count, with i16 transport in both directions (see _decode_lanes_i16).
+    All device work is dispatched before this returns."""
     from ..core.convert import i32_to_f32_np
     from ..ops.select import gather_rows
 
@@ -175,6 +177,7 @@ def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
         if m is not None:
             by_channels.setdefault(c, []).append((i, m))
 
+    collectors = []
     for channels, group in by_channels.items():
         S_max = max(m[6] for _, m in group)
         L_tot = sum(m[0].shape[0] for _, m in group)
@@ -225,28 +228,44 @@ def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
             fhi_f = min(flo_f + f_half, F_tot)
             handles.append(dispatch(flo_f, fhi_f))
 
-        chunks = []
-        for out16_d, fits_d, fcs_dev in handles:
-            part = np.asarray(out16_d).astype(np.int32)
-            bad = np.flatnonzero(~np.asarray(fits_d))
-            if len(bad):
-                padb = 1 << max(len(bad) - 1, 0).bit_length()
-                idx_p = np.zeros(padb, np.int32)
-                idx_p[: len(bad)] = bad
-                part[bad] = np.asarray(gather_rows(fcs_dev, jnp.asarray(idx_p)))[: len(bad)]
-            chunks.append(part)
-        fcs_all = np.concatenate(chunks)  # [F_tot, C, S_max]
+        def collect(handles=handles, group=group, channels=channels):
+            chunks = []
+            for out16_d, fits_d, fcs_dev in handles:
+                part = np.asarray(out16_d).astype(np.int32)
+                bad = np.flatnonzero(~np.asarray(fits_d))
+                if len(bad):
+                    padb = 1 << max(len(bad) - 1, 0).bit_length()
+                    idx_p = np.zeros(padb, np.int32)
+                    idx_p[: len(bad)] = bad
+                    part[bad] = np.asarray(gather_rows(fcs_dev, jnp.asarray(idx_p)))[
+                        : len(bad)
+                    ]
+                chunks.append(part)
+            fcs_all = np.concatenate(chunks)  # [F_tot, C, S_max]
 
-        foff = 0
-        for i, m in group:
-            n_frames = m[0].shape[0] // channels
-            S, frame_lengths = m[6], m[7]
-            fcs = fcs_all[foff : foff + n_frames, :, :S]
-            foff += n_frames
-            parts = [fcs[j, :, : frame_lengths[j]].T for j in range(n_frames)]
-            ints = np.concatenate(parts, axis=0)
-            outs[i] = i32_to_f32_np(ints).reshape(-1)
-    return outs
+            foff = 0
+            for i, m in group:
+                n_frames = m[0].shape[0] // channels
+                S, frame_lengths = m[6], m[7]
+                fcs = fcs_all[foff : foff + n_frames, :, :S]
+                foff += n_frames
+                parts = [fcs[j, :, : frame_lengths[j]].T for j in range(n_frames)]
+                ints = np.concatenate(parts, axis=0)
+                outs[i] = i32_to_f32_np(ints).reshape(-1)
+
+        collectors.append(collect)
+
+    def fin():
+        for collect in collectors:
+            collect()
+        return outs
+
+    return BulkFuture(fin)
+
+
+def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
+    """Blocking form of decode_many_async."""
+    return decode_many_async(flos).result()
 
 
 def decode_file_i32(flo: FloFile) -> np.ndarray:

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..container import writer
+from ..futures import BulkFuture
 from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
     FRAME_FLAG_MID_SIDE,
@@ -89,19 +90,20 @@ def _autocorr_int_exact(lanes: np.ndarray, nvalid: np.ndarray, max_order: int) -
     return np.stack(cols, axis=1)
 
 
-def encode_many_to_frames(
+def encode_many_to_frames_async(
     samples_list,
     sample_rate: int,
     channels: int,
     compression_level: int = 5,
     analysis: str = "exact",
-) -> List[List[Frame]]:
+) -> BulkFuture:
     """Encode MANY files (same rate/channels) in one batched pass.
 
-    All files' (frame, channel) lanes are concatenated into a single device
-    candidate-search call and a single host Rice-packing call — the bulk
-    throughput path (batch parallelism is the workload's parallelism story,
-    SURVEY.md §2.9). Returns one frame list per input file.
+    All files' (frame, channel) lanes are concatenated into chunked device
+    candidate-search calls — the bulk throughput path (batch parallelism is
+    the workload's parallelism story, SURVEY.md §2.9). All device work is
+    DISPATCHED before this returns; the BulkFuture's result() blocks on the
+    downloads and yields one frame list per input file.
     """
     C = int(channels)
     spf = int(sample_rate)
@@ -145,32 +147,48 @@ def encode_many_to_frames(
             active_nvalid.append(frame_samples[fi])
             active_slots.append((fidx, int(fi)))
     if not active_slots:
-        return all_frames
+        return BulkFuture(lambda: all_frames)
 
     fsc_batch = np.stack(active_fsc)  # [F', S, C]
     nvalid_f = np.asarray(active_nvalid, dtype=np.int64)
 
-    frames_out = _encode_active_frames(
-        fsc_batch, nvalid_f, C, kinds, cand_orders, max_order, analysis
-    )
-    for (fidx, fi), frame in zip(active_slots, frames_out):
-        all_frames[fidx][fi] = frame
-    return all_frames
+    states = _dispatch_active_frames(fsc_batch, nvalid_f, C, kinds, cand_orders, analysis)
+
+    def fin() -> List[List[Frame]]:
+        frames_out: List[Frame] = []
+        for st in states:
+            frames_out.extend(_collect_chunk(st, C, kinds, cand_orders, max_order))
+        for (fidx, fi), frame in zip(active_slots, frames_out):
+            all_frames[fidx][fi] = frame
+        return all_frames
+
+    return BulkFuture(fin)
+
+
+def encode_many_to_frames(
+    samples_list,
+    sample_rate: int,
+    channels: int,
+    compression_level: int = 5,
+    analysis: str = "exact",
+) -> List[List[Frame]]:
+    """Blocking form of encode_many_to_frames_async."""
+    return encode_many_to_frames_async(
+        samples_list, sample_rate, channels, compression_level, analysis
+    ).result()
 
 
 #: Number of sub-batches a bulk encode is split into. With >1, chunk B's
-#: uploads/compute overlap chunk A's download + host Rice packing (jax
-#: dispatch is async; only the collect blocks).
-PIPELINE_CHUNKS = 2
+#: uploads/compute overlap chunk A's download + host assembly (jax dispatch
+#: is async; only the collect blocks).
+PIPELINE_CHUNKS = 4
 
 
-def _encode_active_frames(
-    fsc, frame_samples, C, kinds, cand_orders, max_order, analysis: str = "exact"
+def _dispatch_active_frames(
+    fsc, frame_samples, C, kinds, cand_orders, analysis: str = "exact"
 ):
-    """Encode a batch of non-silent frames [F', S, C] -> list of Frames.
-
-    Runs as PIPELINE_CHUNKS double-buffered sub-batches: every chunk's device
-    work is dispatched before any chunk's results are collected.
+    """Dispatch a batch of non-silent frames [F', S, C] as PIPELINE_CHUNKS
+    sub-batches; returns the per-chunk states for _collect_chunk.
 
     analysis: "exact" (host i64-equivalent autocorrelation + f64 Levinson —
     reference-parity coefficient generation) or "device" (everything on
@@ -192,10 +210,7 @@ def _encode_active_frames(
                 fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders, analysis
             )
         )
-    frames_out: List[Frame] = []
-    for st in states:
-        frames_out.extend(_collect_chunk(st, C, kinds, cand_orders, max_order))
-    return frames_out
+    return states
 
 
 def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact"):
@@ -216,8 +231,8 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
             tuple(cand_orders),
         )
         return {
-            "device_out": device_out[:7],
-            "mid_side_dev": device_out[7],
+            "device_out": device_out[:10],
+            "mid_side_dev": device_out[10],
             "nvalid": np.repeat(frame_samples, C).astype(np.int32),
             "frame_samples": frame_samples,
             "mid_side": None,
@@ -294,8 +309,12 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
 
 def _collect_chunk(st, C, kinds, cand_orders, max_order):
     """Block on one sub-batch's results; slice the device-packed wire
-    payloads and assemble its frames (no host entropy coding)."""
-    sel_d, k_d, size_d, packed_dev, lane_bytes_d, winc_d, wins_d = st["device_out"]
+    payloads and assemble its frames (host entropy coding only for the rare
+    `bad` lanes — >32-bit codes the device packer cannot express)."""
+    (
+        sel_d, k_d, size_d, packed_dev, lane_bytes_d, lane_off_d, bad_d,
+        res_dev, winc_d, wins_d,
+    ) = st["device_out"]
     frame_samples = st["frame_samples"]
     Fa, L = st["Fa"], st["L"]
 
@@ -303,12 +322,30 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
     ks = np.asarray(k_d)
     lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
     # The packer's byte counts are computed independently of selection's exact
-    # sizes; equality is a cheap end-to-end check of the device bit packing
-    # (and of its 16-bit/sample buffer bound, which winners cannot exceed).
+    # sizes; equality is a cheap end-to-end check of the device bit packing.
     if not np.array_equal(lane_bytes, np.asarray(size_d).astype(np.int64)):
         raise AssertionError("device Rice packing size mismatch")
-    lane_off = np.cumsum(lane_bytes) - lane_bytes
-    pb = ricepack.fetch_prefix(packed_dev, int(lane_bytes.sum())).tobytes()
+    lane_off = np.asarray(lane_off_d).astype(np.int64)
+    total = int(lane_off[-1] + lane_bytes[-1]) if L else 0
+    pb = ricepack.fetch_prefix(packed_dev, total).tobytes()
+
+    # Exact host re-pack of flagged lanes (q+1+k > 32 somewhere; possible
+    # only on pathological spikes — the estimator keeps quotients small).
+    repack: dict[int, bytes] = {}
+    bad_rows = np.flatnonzero(np.asarray(bad_d))
+    if len(bad_rows):
+        from ..core import rice_host
+        from ..ops.select import gather_rows
+        import jax.numpy as _jnp
+
+        pad = 1 << max(len(bad_rows) - 1, 0).bit_length()
+        idx_p = np.zeros(pad, np.int32)
+        idx_p[: len(bad_rows)] = bad_rows
+        rows = np.asarray(gather_rows(res_dev, _jnp.asarray(idx_p)))[: len(bad_rows)]
+        nv = st["nvalid"]
+        for lane, row in zip(bad_rows.tolist(), rows):
+            repack[lane] = rice_host.encode(row[: nv[lane]], int(ks[lane]))
+            assert len(repack[lane]) == lane_bytes[lane]
 
     win_coeffs = np.asarray(winc_d)
     win_shifts = np.asarray(wins_d)
@@ -325,7 +362,7 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
             lane = idx * C + c
             ci = int(sel[lane])
             kd = kinds[ci]
-            blob = pb[lane_off[lane] : lane_off[lane] + lane_bytes[lane]]
+            blob = repack.get(lane) or pb[lane_off[lane] : lane_off[lane] + lane_bytes[lane]]
             if kd == "raw":
                 # Raw winners' packed payload IS the verbatim LE16 samples
                 # (i16 wrap matches Rust `as i16`; see ops/ricepack.py).
@@ -376,6 +413,38 @@ def encode_to_frames(
     return encode_many_to_frames([samples], sample_rate, channels, compression_level)[0]
 
 
+def encode_many_async(
+    samples_list,
+    sample_rate: int,
+    channels: int,
+    bit_depth: int = 16,
+    compression_level: int = 5,
+    metadata_list=None,
+    analysis: str = "device",
+) -> BulkFuture:
+    """Bulk encode, dispatched immediately; result() yields the file bytes.
+
+    The bulk default analysis="device" runs the mid/side decision +
+    autocorrelation + Levinson on device (f32): zero host analysis work.
+    Round-trips stay bit-exact either way (coefficients travel in the
+    stream); corpus re-encode sizes drift <= 1 byte vs analysis="exact"
+    (the reference-parity host i64/f64 path, still the single-file
+    encode() default and available here as an option).
+    """
+    level = min(int(compression_level), 9)
+    fut = encode_many_to_frames_async(samples_list, sample_rate, channels, level, analysis)
+    n = len(samples_list)
+    metas = metadata_list or [b""] * n
+    return fut.then(
+        lambda frames_per_file: [
+            writer.write(
+                int(sample_rate), int(channels), int(bit_depth), level, frames, meta
+            )
+            for frames, meta in zip(frames_per_file, metas)
+        ]
+    )
+
+
 def encode_many(
     samples_list,
     sample_rate: int,
@@ -383,23 +452,14 @@ def encode_many(
     bit_depth: int = 16,
     compression_level: int = 5,
     metadata_list=None,
-    analysis: str = "exact",
+    analysis: str = "device",
 ) -> List[bytes]:
-    """Bulk encode: many files, one device pass, one Rice-pack pass.
-
-    analysis="device" runs the mid/side decision + autocorrelation + Levinson
-    on device too (f32): zero host analysis, bit-exact round-trips, ratios
-    may drift marginally from the reference-parity "exact" path.
-    """
-    level = min(int(compression_level), 9)
-    frames_per_file = encode_many_to_frames(
-        samples_list, sample_rate, channels, level, analysis
-    )
-    metas = metadata_list or [b""] * len(frames_per_file)
-    return [
-        writer.write(int(sample_rate), int(channels), int(bit_depth), level, frames, meta)
-        for frames, meta in zip(frames_per_file, metas)
-    ]
+    """Bulk encode: many files, one device pass (blocking form; see
+    encode_many_async for the analysis="device" bulk default)."""
+    return encode_many_async(
+        samples_list, sample_rate, channels, bit_depth, compression_level,
+        metadata_list, analysis,
+    ).result()
 
 
 def encode(

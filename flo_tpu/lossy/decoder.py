@@ -16,6 +16,7 @@ import numpy as np
 
 from ..container import reader
 from ..core.types import FloFile
+from ..futures import BulkFuture
 from ..ops import compact, mdct, psycho
 from .sparse import deserialize_sparse
 
@@ -120,9 +121,10 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
-def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndarray]:
-    """Bulk decode: all files' blocks in one device call (T padded to the
-    batch max; every file must share sample_rate/block size/channels).
+def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFuture:
+    """Bulk decode: all files' blocks in chunked device calls (T padded to
+    the batch max; every file must share sample_rate/block size/channels).
+    All device work is dispatched before this returns.
 
     transport_dtype=np.float16 halves the device->host download at ~1e-4
     sample error (well inside the lossy tolerance); output is still f32.
@@ -139,7 +141,7 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
             parsed.append(p)
         parsed_files.append(parsed)
     if not parsed_files or all(not p for p in parsed_files):
-        return [np.zeros(0, dtype=np.float32) for _ in flos]
+        return BulkFuture(lambda: [np.zeros(0, dtype=np.float32) for _ in flos])
     n = next(p[0][0] for p in parsed_files if p)
     C = next(len(p[0][2]) for p in parsed_files if p)
     rate = flos[0].header.sample_rate
@@ -198,14 +200,22 @@ def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndar
                 ),
             )
         )
-    outs = [None] * N
-    for lo, hi, h in handles:
-        segs = np.asarray(h)
-        if segs.dtype == np.int16:
-            segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
-        else:
-            segs = segs.astype(np.float32)
-        for i in range(lo, hi):
-            # drop each file's pre-roll frame
-            outs[i] = segs[i - lo, 1 : len(parsed_files[i])].reshape(-1)
-    return outs
+    def fin() -> list[np.ndarray]:
+        outs = [None] * N
+        for lo, hi, h in handles:
+            segs = np.asarray(h)
+            if segs.dtype == np.int16:
+                segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
+            else:
+                segs = segs.astype(np.float32)
+            for i in range(lo, hi):
+                # drop each file's pre-roll frame
+                outs[i] = segs[i - lo, 1 : len(parsed_files[i])].reshape(-1)
+        return outs
+
+    return BulkFuture(fin)
+
+
+def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndarray]:
+    """Blocking form of decode_many_async."""
+    return decode_many_async(flos, transport_dtype).result()

@@ -19,6 +19,7 @@ import numpy as np
 from ..container import writer
 from ..core.constants import FrameType
 from ..core.types import ChannelData, Frame
+from ..futures import BulkFuture
 from ..ops import compact, mdct, psycho
 from .sparse import serialize_sparse
 
@@ -144,13 +145,14 @@ def _assemble_frames(
     return frames
 
 
-def encode_many_to_frames(
+def encode_many_to_frames_async(
     samples_list, sample_rate: int, channels: int, quality: float,
     transport_dtype=np.float32,
-) -> list[list[Frame]]:
-    """Bulk blocked MDCT encode: all files' channel lanes stacked into one
-    device call (hop counts padded to the batch max; padding blocks are
-    all-zero and their frames are never emitted).
+) -> BulkFuture:
+    """Bulk blocked MDCT encode: all files' channel lanes stacked into
+    chunked device calls (hop counts padded to the batch max; padding blocks
+    are all-zero and their frames are never emitted). All device work is
+    dispatched before this returns.
 
     transport_dtype=np.float16 halves the upload; the MDCT input is then
     f16-quantized (~1e-4), inside the lossy tolerance at every preset."""
@@ -158,7 +160,7 @@ def encode_many_to_frames(
     per_file = [_file_padded(s, C) for s in samples_list]
     t_max = max((nh for _, nh in per_file), default=0)
     if t_max == 0:
-        return [[] for _ in samples_list]
+        return BulkFuture(lambda: [[] for _ in samples_list])
     N = len(per_file)
     stacked = np.zeros((N * C, (t_max + 1) * HOP), dtype=transport_dtype)
     for i, (padded, nh) in enumerate(per_file):
@@ -178,40 +180,54 @@ def encode_many_to_frames(
                 ),
             )
         )
-    q_parts, sf_parts = [], []
-    for nl, (entries_d, row_nnz_d, sf_d) in handles:
-        row_nnz = np.asarray(row_nnz_d)
-        sf_parts.append(np.asarray(sf_d))
-        entries = compact.fetch_prefix(entries_d, int(row_nnz.sum()))
-        cols, vals = compact.split_entries(entries)
-        R = nl * t_max
-        qq = np.zeros((R, HOP), np.int16)
-        if len(cols):
-            qq[np.repeat(np.arange(R), row_nnz), cols] = vals
-        q_parts.append(qq.reshape(nl, t_max, HOP))
-    q = np.concatenate(q_parts)  # [N*C, T, 1024]
-    sf_u16 = encode_sf_u16(np.concatenate(sf_parts))
 
-    # One native sparse-RLE pass over every (lane, hop) row.
-    from .. import native
+    def fin() -> list[list[Frame]]:
+        q_parts, sf_parts = [], []
+        for nl, (entries_d, row_nnz_d, sf_d) in handles:
+            row_nnz = np.asarray(row_nnz_d)
+            sf_parts.append(np.asarray(sf_d))
+            entries = compact.fetch_prefix(entries_d, int(row_nnz.sum()))
+            cols, vals = compact.split_entries(entries)
+            R = nl * t_max
+            qq = np.zeros((R, HOP), np.int16)
+            if len(cols):
+                qq[np.repeat(np.arange(R), row_nnz), cols] = vals
+            q_parts.append(qq.reshape(nl, t_max, HOP))
+        q = np.concatenate(q_parts)  # [N*C, T, 1024]
+        sf_u16 = encode_sf_u16(np.concatenate(sf_parts))
 
-    T = q.shape[1]
-    flat = native.sparse_encode_batch(q.reshape(-1, q.shape[-1]))
+        # One native sparse-RLE pass over every (lane, hop) row.
+        from .. import native
 
-    out = []
-    for i, (_, nh) in enumerate(per_file):
-        if flat is not None:
-            payloads = [
-                flat[(i * C + c) * T : (i * C + c) * T + nh] for c in range(C)
-            ]
-        else:
-            payloads = None
-        out.append(
-            _assemble_frames(
-                q[i * C : (i + 1) * C], sf_u16[i * C : (i + 1) * C], C, nh, payloads
+        T = q.shape[1]
+        flat = native.sparse_encode_batch(q.reshape(-1, q.shape[-1]))
+
+        out = []
+        for i, (_, nh) in enumerate(per_file):
+            if flat is not None:
+                payloads = [
+                    flat[(i * C + c) * T : (i * C + c) * T + nh] for c in range(C)
+                ]
+            else:
+                payloads = None
+            out.append(
+                _assemble_frames(
+                    q[i * C : (i + 1) * C], sf_u16[i * C : (i + 1) * C], C, nh, payloads
+                )
             )
-        )
-    return out
+        return out
+
+    return BulkFuture(fin)
+
+
+def encode_many_to_frames(
+    samples_list, sample_rate: int, channels: int, quality: float,
+    transport_dtype=np.float32,
+) -> list[list[Frame]]:
+    """Blocking form of encode_many_to_frames_async."""
+    return encode_many_to_frames_async(
+        samples_list, sample_rate, channels, quality, transport_dtype
+    ).result()
 
 
 def encode_to_frames(
@@ -223,6 +239,32 @@ def encode_to_frames(
     return encode_many_to_frames([samples], sample_rate, channels, quality)[0]
 
 
+def encode_many_async(
+    samples_list,
+    sample_rate: int,
+    channels: int,
+    quality: float,
+    metadata_list=None,
+    bit_depth: int = 16,
+    transport_dtype=np.float32,
+) -> BulkFuture:
+    """Bulk lossy encode, dispatched immediately; result() -> file bytes."""
+    fut = encode_many_to_frames_async(
+        samples_list, sample_rate, channels, quality, transport_dtype
+    )
+    q_u8 = min(int(round(min(max(float(quality), 0.0), 1.0) * 4.0)), 4)
+    metas = metadata_list or [b""] * len(samples_list)
+    return fut.then(
+        lambda frames_per_file: [
+            writer.write(
+                int(sample_rate), int(channels), int(bit_depth), 5, frames, meta,
+                lossy=True, lossy_quality=q_u8,
+            )
+            for frames, meta in zip(frames_per_file, metas)
+        ]
+    )
+
+
 def encode_many(
     samples_list,
     sample_rate: int,
@@ -232,19 +274,11 @@ def encode_many(
     bit_depth: int = 16,
     transport_dtype=np.float32,
 ) -> list[bytes]:
-    """Bulk lossy encode: one device pass for every file."""
-    frames_per_file = encode_many_to_frames(
-        samples_list, sample_rate, channels, quality, transport_dtype
-    )
-    q_u8 = min(int(round(min(max(float(quality), 0.0), 1.0) * 4.0)), 4)
-    metas = metadata_list or [b""] * len(frames_per_file)
-    return [
-        writer.write(
-            int(sample_rate), int(channels), int(bit_depth), 5, frames, meta,
-            lossy=True, lossy_quality=q_u8,
-        )
-        for frames, meta in zip(frames_per_file, metas)
-    ]
+    """Bulk lossy encode: one device pass for every file (blocking form)."""
+    return encode_many_async(
+        samples_list, sample_rate, channels, quality, metadata_list, bit_depth,
+        transport_dtype,
+    ).result()
 
 
 def encode(

@@ -7,28 +7,45 @@ in core/rice_host.py). Compressed data is 1.4-3x smaller than those tensors,
 so this module packs the bits ON DEVICE and the host downloads only
 ``ceil(total_bits/8)`` bytes + tiny per-lane offsets.
 
-Output contract: for every lane, ``packed[off[l] : off[l]+nbytes[l]]`` is
-byte-for-byte identical to ``rice_host.encode(residuals[l, :n[l]], k[l])``
-(lane streams are byte-aligned, exactly like the container's standalone
-per-channel residual blobs). Raw-PCM lanes (candidate-0 winners) are packed
-in the SAME pass as fixed-width 16-bit little-endian codes, yielding the
-writer's verbatim ``<i2`` payload — no separate download path for them.
+Output contract: for every non-flagged lane, ``packed[off[l]:off[l]+n[l]]``
+is byte-for-byte identical to ``rice_host.encode(residuals[l, :n[l]], k[l])``.
+Raw-PCM lanes (candidate-0 winners) are packed in the SAME pass as
+fixed-width 16-bit little-endian codes, yielding the writer's verbatim
+``<i2`` payload — no separate download path for them.
 
-Formulation (static shapes, gather-based — no data-dependent shapes):
+TPU-shaped formulation. Indexed ops (gather/scatter) cost ~8 ns/element on
+TPU regardless of array size — far above bandwidth — so the design touches
+indices only per-CODE (two scatters), never per-bit:
 
-1. Per-code bit length ``clen = min(u>>k, 255) + 1 + k`` (Rice) or 16 (raw),
-   masked by ``i < nvalid``; within-lane exclusive cumsum plus byte-aligned
-   per-lane offsets gives every code's global start bit.
-2. A [NB] indicator marks code starts (unique-index scatter of ones);
-   its cumsum labels every bit position with its covering code id.
-3. Three gathers fetch the code's start/meta/value; the bit value is then
-   closed-form (unary run, terminator, k remainder bits MSB-first — or the
-   raw LE16 pattern), and bits fold 8-to-1 into bytes.
+1. Elementwise per code: bit length ``clen`` and the code's full bit
+   PATTERN, MSB-aligned in one u32 (unary ones, terminator, remainder — or
+   the raw LE16 pattern). Codes never span two patterns because lanes with
+   any >32-bit code are flagged for exact host re-packing (below).
+2. Within-lane exclusive cumsum of ``clen`` + WORD-aligned per-lane offsets
+   gives every code's global start bit. Starts are non-decreasing across
+   the whole batch in flat order.
+3. Per-code DELTAS (value minus previous code's value, telescoping across
+   the full flat order; invalid codes carry value 0) are scatter-ADDed at
+   the start positions; a cumsum over the bit domain then reconstructs, at
+   every bit position p, the start and pattern of the covering code — so
+   the bit value is ``(pattern >> (31 - (p - start))) & 1``, elementwise.
+   Duplicate start positions (zero-length tails, lanes abutting on a word
+   boundary) are correct by telescoping.
+4. Bits fold 8->1 into bytes via strided slices (no [N, 8] reshape: a minor
+   axis of 8 would be tile-padded 16x on TPU and OOM).
 
-NB is the static worst case of 16 bits per sample: the raw baseline bound —
-selection (ops/select.py) never picks a candidate larger than raw, and raw
-lanes are exactly 16 bits/sample. Callers bound L*S so NB < 2^31 (the
-encoder's pipeline chunking already keeps batches far below that).
+Lanes containing a code longer than 32 bits (quotient + 1 + k > 32; only
+when the Rice estimate is badly mismatched, e.g. one huge spike) are
+reported in ``bad``: their region holds garbage and hosts re-pack them
+exactly (core/rice_host.encode) from a gather-fetch of the residual rows.
+Word-aligned lane offsets guarantee a bad lane never corrupts a neighbour.
+Selection's exact per-lane byte size already accounts for capped quotients,
+so the buffer layout stands regardless.
+
+The bit-domain buffer is the static worst case of 16 bits per sample (the
+raw baseline bound: selection never keeps a candidate larger than raw) plus
+one alignment word per lane. Callers bound L*S so bit indices fit int32
+(the encoder's pipeline chunking keeps batches far below that).
 """
 
 from __future__ import annotations
@@ -42,8 +59,8 @@ import numpy as np
 #: Worst-case packed bits per sample (raw baseline bound).
 WORST_BITS_PER_SAMPLE = 16
 
-#: Hard cap so every bit index fits int32.
-MAX_BATCH_SAMPLES = (1 << 31) // WORST_BITS_PER_SAMPLE - 1
+#: Hard cap so every bit index fits int32 (with word-align slack).
+MAX_BATCH_SAMPLES = (1 << 30) // WORST_BITS_PER_SAMPLE - 1
 
 
 def _zigzag_u32(r):
@@ -51,8 +68,8 @@ def _zigzag_u32(r):
     return jax.lax.bitcast_convert_type(z, jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("bits_per_sample",))
-def pack_lanes(residuals, k, nvalid, is_raw, bits_per_sample: int = WORST_BITS_PER_SAMPLE):
+@jax.jit
+def pack_lanes(residuals, k, nvalid, is_raw):
     """Pack every lane's residual stream into one byte-aligned buffer.
 
     Args:
@@ -61,97 +78,82 @@ def pack_lanes(residuals, k, nvalid, is_raw, bits_per_sample: int = WORST_BITS_P
       k: [L] int32 Rice parameters (ignored for raw lanes).
       nvalid: [L] int32 valid samples per lane.
       is_raw: [L] bool — lane uses the fixed-width 16-bit LE raw format.
-      bits_per_sample: static per-lane bound on MEAN encoded bits/sample.
-        The default 16 is guaranteed for encoder winners (selection never
-        keeps a candidate larger than the 2-byte/sample raw baseline, and raw
-        lanes are exactly 16); arbitrary (residuals, k) pairs can exceed it
-        (a capped-quotient code is up to 255+1+k bits) and silently truncate,
-        so non-encoder callers must pass a sufficient bound (272 is always
-        safe). Hosts can detect violation cheaply: sum(lane_bytes)*8 > NB.
 
-    Returns (packed u8 [L*S*bits_per_sample/8], lane_bytes [L] i32,
-    lane_off [L] i32).
+    Returns (packed u8 [NBYTES], lane_bytes [L] i32, lane_off [L] i32,
+    bad [L] bool — lanes containing a >32-bit code, to be re-packed on the
+    host). lane_off is WORD-aligned; lane_bytes is the exact stream size.
     """
     L, S = residuals.shape
-    NB = -(-L * S * bits_per_sample // 8) * 8  # static; callers keep < 2^31
-    NCODES = L * S
+    NW = L * (S * WORST_BITS_PER_SAMPLE // 32 + 1)  # words, static
+    NW = -(-NW // 32) * 32  # NB multiple of 1024 for the 2D byte fold
+    NB = NW * 32
+    kcol = k[:, None]
+    ku = kcol.astype(jnp.uint32)
 
-    ku = k[:, None].astype(jnp.uint32)
     u_rice = _zigzag_u32(residuals)
     q = jnp.minimum(u_rice >> ku, jnp.uint32(255)).astype(jnp.int32)
     u_raw = jax.lax.bitcast_convert_type(residuals & 0xFFFF, jnp.uint32)
-    u = jnp.where(is_raw[:, None], u_raw, u_rice)
 
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid[:, None]
-    clen = jnp.where(is_raw[:, None], 16, q + 1 + k[:, None])
+    clen = jnp.where(is_raw[:, None], 16, q + 1 + kcol)
     clen = jnp.where(valid, clen, 0)
+    bad = jnp.any(valid & ~is_raw[:, None] & (clen > 32), axis=1)
+
+    # Per-code pattern, MSB-aligned: q ones, a zero, k remainder bits — or
+    # the raw LE16 bit pattern (low byte first, MSB-first within bytes).
+    q32 = jnp.minimum(q, 31).astype(jnp.uint32)
+    ones = jnp.where(q >= 32, jnp.uint32(0xFFFFFFFF), ~(jnp.uint32(0xFFFFFFFF) >> q32))
+    rem = jnp.where(ku > 0, u_rice << (jnp.uint32(32) - ku), jnp.uint32(0))
+    pat_rice = ones | (rem >> jnp.minimum(q32 + 1, 31))
+    pat_raw = ((u_raw & jnp.uint32(0x00FF)) << 24) | ((u_raw & jnp.uint32(0xFF00)) << 8)
+    pattern = jnp.where(is_raw[:, None], pat_raw, pat_rice)
+    pattern = jnp.where(valid, pattern, jnp.uint32(0))  # padding emits 0 bits
+    pattern = jax.lax.bitcast_convert_type(pattern, jnp.int32)
 
     lane_bits = jnp.sum(clen, axis=1)
     lane_bytes = (lane_bits + 7) >> 3
-    lane_off = jnp.cumsum(lane_bytes) - lane_bytes  # exclusive, bytes
+    lane_words = (lane_bits + 31) >> 5
+    lane_woff = jnp.cumsum(lane_words) - lane_words  # exclusive, words
+    lane_off = lane_woff * 4
+    # Layout overflow (total > 16 bits/sample — impossible for encoder
+    # winners, reachable with arbitrary caller-chosen k): flag the lane and
+    # every later one; their regions are unreliable.
+    bad = bad | (lane_woff + lane_words > NW)
 
     within = jnp.cumsum(clen, axis=1) - clen
-    starts = lane_off[:, None] * 8 + within  # [L, S] global bit starts
+    starts = (lane_woff[:, None] * 32 + within).reshape(-1)  # non-decreasing
 
-    # meta per code: q (8b) | k (4b) | raw flag (1b); q is 0..255, k 0..15.
-    meta = (q << 5) | (k[:, None] << 1) | is_raw[:, None].astype(jnp.int32)
+    # Telescoping deltas in flat order; scatter-add handles duplicates.
+    def spread(vals_f):
+        delta = vals_f - jnp.concatenate([vals_f[:1] * 0, vals_f[:-1]])
+        seed = jnp.zeros((NB,), jnp.int32).at[starts].add(
+            delta, mode="drop", indices_are_sorted=True
+        )
+        return jnp.cumsum(seed)
 
-    starts_f = starts.reshape(-1)
-    meta_f = meta.reshape(-1)
-    u_f = u.reshape(-1)
-    valid_f = valid.reshape(-1)
+    st_exp = spread(starts)
+    pat_exp = jax.lax.bitcast_convert_type(spread(pattern.reshape(-1)), jnp.uint32)
 
-    # Compact the per-code tables to valid codes only (code_id below counts
-    # valid codes): scatter each valid code to its rank.
-    rank = jnp.cumsum(valid_f.astype(jnp.int32)) - 1
-    dest = jnp.where(valid_f, rank, NCODES)  # invalid -> dropped
-    compact = lambda a, dt: jnp.zeros((NCODES,), dt).at[dest].set(
-        a, mode="drop", unique_indices=True
+    off = jnp.arange(NB, dtype=jnp.int32) - st_exp
+    bit = jnp.where(
+        (off >= 0) & (off < 32),
+        (pat_exp >> jnp.clip(31 - off, 0, 31).astype(jnp.uint32)) & jnp.uint32(1),
+        jnp.uint32(0),
+    ).astype(jnp.int32)
+
+    # Bits -> bytes: fold 8->1 on a [M, 1024] view with minor-axis strided
+    # column picks (a flat stride-8 slice or an [N, 8] reshape are both ~100x
+    # slower on TPU — measured; tile-unfriendly layouts).
+    b2 = bit.reshape(NB // 1024, 1024)
+    byte = jnp.zeros((NB // 1024, 128), jnp.int32)
+    for j in range(8):
+        byte = byte + (b2[:, j::8] << (7 - j))
+    return (
+        byte.reshape(-1).astype(jnp.uint8),
+        lane_bytes.astype(jnp.int32),
+        lane_off.astype(jnp.int32),
+        bad,
     )
-    starts_c = compact(starts_f, jnp.int32)
-    meta_c = compact(meta_f, jnp.int32)
-    u_c = compact(u_f, jnp.uint32)
-
-    # Code-start indicator -> covering code id per bit position.
-    idx = jnp.where(valid_f, starts_f, NB)  # invalid -> dropped
-    cnt = jnp.zeros((NB,), jnp.int8).at[idx].set(
-        jnp.int8(1), mode="drop", unique_indices=True
-    )
-    code_id = jnp.cumsum(cnt, dtype=jnp.int32) - 1
-    code_id = jnp.clip(code_id, 0, NCODES - 1)
-
-    st = jnp.take(starts_c, code_id)
-    mt = jnp.take(meta_c, code_id)
-    uu = jnp.take(u_c, code_id)
-
-    p = jnp.arange(NB, dtype=jnp.int32)
-    off = p - st
-    qq = mt >> 5
-    kk = (mt >> 1) & 15
-    rawf = (mt & 1) == 1
-
-    # Rice: q unary '1's, '0' terminator, k remainder bits MSB-first.
-    rice_shift = jnp.clip(kk + qq - off, 0, 31).astype(jnp.uint32)
-    rice_bit = jnp.where(
-        off < qq,
-        1,
-        jnp.where(
-            (off > qq) & (off <= qq + kk),
-            ((uu >> rice_shift) & jnp.uint32(1)).astype(jnp.int32),
-            0,
-        ),
-    )
-    # Raw LE16: byte 0 = low byte (MSB-first), byte 1 = high byte.
-    raw_shift = jnp.clip(jnp.where(off < 8, 7 - off, 23 - off), 0, 31).astype(jnp.uint32)
-    raw_bit = jnp.where(
-        off < 16, ((uu >> raw_shift) & jnp.uint32(1)).astype(jnp.int32), 0
-    )
-    bit = jnp.where(rawf, raw_bit, rice_bit)
-    bit = jnp.where(off >= 0, bit, 0)  # positions before the first code
-
-    weights = (1 << (7 - jnp.arange(8, dtype=jnp.int32)))[None, :]
-    packed = jnp.sum(bit.reshape(-1, 8) * weights, axis=1).astype(jnp.uint8)
-    return packed, lane_bytes.astype(jnp.int32), lane_off.astype(jnp.int32)
 
 
 #: Download-slice bucket (bytes): prefixes round up to a multiple of this so

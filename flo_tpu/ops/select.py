@@ -191,11 +191,13 @@ def _transport_outputs(sel, k, size, residuals, win_c, win_shift, nvalid):
     streams for selected candidates, verbatim LE16 for raw winners. The host
     downloads only the packed bytes + tiny per-lane tables — entropy-coded
     size instead of full i16 residual tensors (the round-1 wire bottleneck).
+    The device-resident residual tensor rides along for the host's exact
+    re-pack of `bad` lanes (>32-bit codes, see ricepack.pack_lanes).
     """
     from .ricepack import pack_lanes
 
-    packed, lane_bytes, _ = pack_lanes(residuals, k, nvalid, sel == 0)
-    return sel, k, size, packed, lane_bytes, win_c, win_shift
+    packed, lane_bytes, lane_off, bad = pack_lanes(residuals, k, nvalid, sel == 0)
+    return sel, k, size, packed, lane_bytes, lane_off, bad, residuals, win_c, win_shift
 
 
 @partial(jax.jit, static_argnames=("is_lpc",))

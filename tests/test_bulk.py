@@ -30,8 +30,12 @@ def files():
 
 class TestBulkLossless:
     def test_bulk_equals_single_byte_identical(self, files):
+        # analysis="exact" is the reference-parity path and byte-identical to
+        # the single-file facade; the bulk DEFAULT is analysis="device"
+        # (bit-exact round-trips, sizes may drift <= 1 byte — see
+        # TestDeviceAnalysis below).
         rate, fs = files
-        bulk = lle.encode_many(fs, rate, 2, 16, 5)
+        bulk = lle.encode_many(fs, rate, 2, 16, 5, analysis="exact")
         for i, s in enumerate(fs):
             assert bulk[i] == lle.encode(s, rate, 2, 16, 5)
 

@@ -8,16 +8,12 @@ from flo_tpu.core import rice_host
 from flo_tpu.ops import ricepack
 
 
-def _pack_np(residuals, ks, nvalid, is_raw, bits_per_sample=16):
+def _pack_np(residuals, ks, nvalid, is_raw):
     out = ricepack.pack_lanes(
-        jnp.asarray(residuals),
-        jnp.asarray(ks),
-        jnp.asarray(nvalid),
-        jnp.asarray(is_raw),
-        bits_per_sample,
+        jnp.asarray(residuals), jnp.asarray(ks), jnp.asarray(nvalid), jnp.asarray(is_raw)
     )
-    packed, lane_bytes, lane_off = (np.asarray(a) for a in out)
-    return packed, lane_bytes, lane_off
+    packed, lane_bytes, lane_off, bad = (np.asarray(a) for a in out)
+    return packed, lane_bytes, lane_off, bad
 
 
 def _expected_blob(row, k, n, raw):
@@ -50,15 +46,55 @@ def test_pack_lanes_matches_host_packer(seed):
             rows[l, :n] = np.where(rng.random(n) < 0.95, 0, rng.integers(-500, 500, n))
         ks[l] = rice_host.estimate_parameter(rows[l, :n])
 
-    packed, lane_bytes, lane_off = _pack_np(rows, ks, nvalid, is_raw)
+    packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, is_raw)
     for l in range(L):
-        got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
         want = _expected_blob(rows[l], ks[l], nvalid[l], is_raw[l])
+        assert lane_bytes[l] == len(want)  # size exact even for flagged lanes
+        assert lane_off[l] % 4 == 0  # word-aligned lanes
+        if bad[l]:
+            # spiky lane with a >32-bit code: host fallback re-packs it;
+            # the device must still flag it (never silently corrupt).
+            assert not is_raw[l]
+            continue
+        got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
         assert got == want, f"lane {l} (raw={is_raw[l]}, k={ks[l]}, n={nvalid[l]})"
+    # smooth/raw lanes never flag; only the zeros+spikes family may
+    assert not bad[np.arange(L) % 4 != 3].any()
+
+
+def test_pack_lanes_flags_long_codes():
+    """Codes with q+1+k > 32 bits flag the lane for host re-packing; the
+    byte SIZE still matches the host packer so the layout stands, and
+    neighbouring lanes stay byte-exact."""
+    S = 64
+    rows = np.zeros((3, S), np.int32)
+    rows[0] = np.arange(S) - 30
+    rows[1, 10] = 5000  # one spike at k=0: capped-q code of 256 bits
+    rows[2] = np.arange(S) * 3 - 90
+    ks = np.array([5, 0, 4], np.int32)
+    nvalid = np.full(3, S, np.int32)
+    packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, np.zeros(3, bool))
+    assert list(bad) == [False, True, False]
+    for l in (0, 2):
+        got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
+        assert got == rice_host.encode(rows[l], int(ks[l])), f"lane {l}"
+    assert lane_bytes[1] == len(rice_host.encode(rows[1], 0))
+
+
+def test_pack_lanes_layout_overflow_flags_lanes():
+    """Total size beyond 16 bits/sample (impossible for encoder winners)
+    must flag lanes, never silently truncate."""
+    S = 64
+    rows = np.full((2, S), 40, np.int32)  # k=0 -> 81 bits per code
+    ks = np.zeros(2, np.int32)
+    nvalid = np.full(2, S, np.int32)
+    _, lane_bytes, _, bad = _pack_np(rows, ks, nvalid, np.zeros(2, bool))
+    assert bad.all()
+    assert lane_bytes[0] == len(rice_host.encode(rows[0], 0))
 
 
 def test_pack_lanes_k_sweep():
-    """Every k 0..15 packs byte-identically (incl. quotient cap at 255)."""
+    """Every k 0..15 packs byte-identically when codes fit 32 bits."""
     S = 64
     L = 16
     rows = np.zeros((L, S), np.int32)
@@ -66,14 +102,11 @@ def test_pack_lanes_k_sweep():
     nvalid = np.full(L, S, np.int32)
     rng = np.random.default_rng(7)
     for l in range(L):
-        # values sized so quotients span 0..>255 at this k
-        hi = max(2, (1 << min(ks[l] + 9, 22)))
+        # |u| < 2^(k+5): quotients < 32 and q+1+k <= 36... keep q+1+k <= 32
+        hi = max(2, 1 << (ks[l] + 3))
         rows[l] = rng.integers(-hi, hi, S)
-    # Arbitrary (residuals, k) pairs can hit capped-quotient codes far above
-    # the encoder's 16-bit/sample bound; 272 = 255+1+16 is always safe.
-    packed, lane_bytes, lane_off = _pack_np(
-        rows, ks, nvalid, np.zeros(L, bool), bits_per_sample=272
-    )
+    packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, np.zeros(L, bool))
+    assert not bad.any()
     for l in range(L):
         got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
         assert got == rice_host.encode(rows[l], int(ks[l]))
@@ -88,11 +121,15 @@ def test_pack_lanes_edge_lanes():
     ks = np.array([0, 0, 2, 15], np.int32)
     nvalid = np.array([8, 1, 8, 8], np.int32)
     is_raw = np.array([False, False, False, True])
-    packed, lane_bytes, lane_off = _pack_np(rows, ks, nvalid, is_raw)
+    packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, is_raw)
     for l in range(4):
+        if bad[l]:
+            continue
         got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
         want = _expected_blob(rows[l], ks[l], nvalid[l], is_raw[l])
         assert got == want, f"lane {l}"
+    # lane 2 has a 32767 value at k=2 -> q capped at 255 -> flagged
+    assert bad[2] and not bad[0] and not bad[1] and not bad[3]
 
 
 def test_fetch_prefix_roundtrip():
