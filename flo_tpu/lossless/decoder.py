@@ -23,6 +23,7 @@ import numpy as np
 from ..container import reader
 from ..core import rice_host
 from ..futures import BulkFuture
+from ..ops import ricepack, wirecodec
 from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
     FrameType,
@@ -141,12 +142,13 @@ def decode(data: bytes) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("channels",))
-def _decode_lanes_i16(rows16, mis_rows, mis_idx, coeffs, shifts, orders, is_fixed,
-                      mid_side, channels: int):
-    """Transport-optimized decode step: i16 rows in (plus a sparse i32 misfit
-    scatter), i16 true-L/R samples out (valid streams always fit i16 after
-    mid/side undo), with per-frame fits flags and the device-resident i32
-    tensor for the rare refetch."""
+def _decode_lanes_packed(rows16, mis_rows, mis_idx, coeffs, shifts, orders, is_fixed,
+                         mid_side, lane_nvalid, channels: int):
+    """Transport-optimized decode step: i16 residual rows in (plus a sparse
+    i32 misfit scatter), ENTROPY-PACKED true-L/R samples out (ops/wirecodec —
+    the decoded PCM is the pipeline's largest download and the axon link is
+    ~13x slower down than up). Returns the packed transport plus the
+    device-resident i32 lane tensor for the rare overflow-lane refetch."""
     rows = rows16.astype(jnp.int32).at[mis_idx].set(mis_rows, mode="drop")
     samples = lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed)
     S = samples.shape[1]
@@ -157,16 +159,18 @@ def _decode_lanes_i16(rows16, mis_rows, mis_idx, coeffs, shifts, orders, is_fixe
         right = div2_trunc(m - s)
         ms = mid_side[:, None]
         fcs = jnp.stack([jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1)
-    fmin = jnp.min(fcs, axis=(1, 2))
-    fmax = jnp.max(fcs, axis=(1, 2))
-    fits = (fmin >= -32768) & (fmax <= 32767)
-    return fcs.astype(jnp.int16), fits, fcs
+    lanes = fcs.reshape(-1, S)
+    packed, lane_bytes, lane_off, mode, wk, overflow = wirecodec.pack_pcm(
+        lanes, lane_nvalid
+    )
+    return packed, lane_bytes, lane_off, mode, wk, overflow, lanes
 
 
 def decode_many_async(flos: list[FloFile]) -> BulkFuture:
     """Bulk decode: every file's lanes in one reconstruction scan per channel
-    count, with i16 transport in both directions (see _decode_lanes_i16).
-    All device work is dispatched before this returns."""
+    count; i16 residual upload, entropy-packed PCM download (see
+    _decode_lanes_packed). All device work is dispatched before this
+    returns."""
     from ..core.convert import i32_to_f32_np
     from ..ops.select import gather_rows
 
@@ -198,9 +202,12 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
             mid_side_all.append(m[5])
             off += r.shape[0]
         mid_side = np.concatenate(mid_side_all)
+        frame_lengths_all = np.concatenate([m[7] for _, m in group]).astype(np.int32)
+        lane_nvalid = np.repeat(frame_lengths_all, channels)
 
         # Double-buffer over two frame sub-batches; per chunk: i16 upload +
-        # sparse i32 misfit scatter (power-of-two padded).
+        # sparse i32 misfit scatter (power-of-two padded); entropy-packed
+        # PCM download (ops/wirecodec).
         F_tot = L_tot // channels
         f_half = F_tot // 2 if F_tot >= 4 else F_tot
 
@@ -216,11 +223,12 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
             mis_idx[: len(mis)] = mis
             mis_rows = np.zeros((pad, S_max), np.int32)
             mis_rows[: len(mis)] = sub[mis]
-            return _decode_lanes_i16(
+            return _decode_lanes_packed(
                 jnp.asarray(rows16), jnp.asarray(mis_rows), jnp.asarray(mis_idx),
                 jnp.asarray(coeffs[lo:hi]), jnp.asarray(shifts[lo:hi]),
                 jnp.asarray(orders[lo:hi]), jnp.asarray(is_fixed[lo:hi]),
-                jnp.asarray(mid_side[flo_f:fhi_f]), channels,
+                jnp.asarray(mid_side[flo_f:fhi_f]),
+                jnp.asarray(lane_nvalid[lo:hi]), channels,
             )
 
         handles = []
@@ -230,17 +238,27 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
 
         def collect(handles=handles, group=group, channels=channels):
             chunks = []
-            for out16_d, fits_d, fcs_dev in handles:
-                part = np.asarray(out16_d).astype(np.int32)
-                bad = np.flatnonzero(~np.asarray(fits_d))
-                if len(bad):
-                    padb = 1 << max(len(bad) - 1, 0).bit_length()
+            off_l = 0
+            for packed_d, lb_d, lo_d, mode_d, wk_d, ovf_d, lanes_dev in handles:
+                lb = np.asarray(lb_d).astype(np.int64)
+                lof = np.asarray(lo_d).astype(np.int64)
+                mode = np.asarray(mode_d)
+                wk = np.asarray(wk_d)
+                nsub = len(lb)
+                nv = lane_nvalid[off_l : off_l + nsub]
+                off_l += nsub
+                total = int(lof[-1] + lb[-1]) if nsub else 0
+                packed = ricepack.fetch_prefix(packed_d, total)
+                part = wirecodec.unpack_pcm(packed, lb, lof, mode, wk, nv, S_max)
+                ovf = np.flatnonzero(np.asarray(ovf_d))
+                if len(ovf):
+                    padb = 1 << max(len(ovf) - 1, 0).bit_length()
                     idx_p = np.zeros(padb, np.int32)
-                    idx_p[: len(bad)] = bad
-                    part[bad] = np.asarray(gather_rows(fcs_dev, jnp.asarray(idx_p)))[
-                        : len(bad)
+                    idx_p[: len(ovf)] = ovf
+                    part[ovf] = np.asarray(gather_rows(lanes_dev, jnp.asarray(idx_p)))[
+                        : len(ovf)
                     ]
-                chunks.append(part)
+                chunks.append(part.reshape(-1, channels, S_max))
             fcs_all = np.concatenate(chunks)  # [F_tot, C, S_max]
 
             foff = 0

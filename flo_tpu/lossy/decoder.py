@@ -79,21 +79,24 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
     return n, sf, _sparse_decode_rows(streams, n // 2)
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "n", "out_dtype"))
-def _decode_blocks_compact(entries, row_nnz, total, sf, sample_rate: int, n: int,
-                           out_dtype: str):
-    """Sparse-upload variant: the host ships 4 bytes per nonzero coefficient
-    (ops/compact.py) and the dense [N, T, C, n2] grid is rebuilt ON DEVICE,
-    then dequantized/IMDCT'd as usual. out_dtype picks the download form."""
+@partial(jax.jit, static_argnames=("sample_rate", "n"))
+def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
+                          sample_rate: int, n: int):
+    """Sparse upload AND entropy-packed download: the host ships 4 bytes per
+    nonzero coefficient (ops/compact.py), the dense [N, T, C, n2] grid is
+    rebuilt ON DEVICE, dequantized/IMDCT'd, quantized to the i16 output
+    domain, and the PCM leaves the device entropy-coded (ops/wirecodec —
+    decoded PCM is the largest download on the slow-down axon link)."""
+    from ..ops import wirecodec
+
     N, T, C = sf.shape[:3]
-    dense = compact.expand_nonzeros(entries, row_nnz, total, N * T * C, n // 2)
-    q = dense.reshape(N, T, C, n // 2)
-    s = _decode_blocks(q, sf, sample_rate, n)
-    if out_dtype == "float16":
-        return s.astype(jnp.float16)
-    if out_dtype == "int16":
-        return jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int16)
-    return s
+    n2 = n // 2
+    dense = compact.expand_nonzeros(entries, row_nnz, total, N * T * C, n2)
+    q = dense.reshape(N, T, C, n2)
+    s = _decode_blocks(q, sf, sample_rate, n)  # [N, T, n2, C]
+    i16 = jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int32)
+    rows = jnp.moveaxis(i16, -1, -2).reshape(N * T * C, n2)
+    return wirecodec.pack_pcm(rows, lane_nvalid)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -172,42 +175,55 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
     counts = np.array([len(p) for p in parsed_files], dtype=np.int64)
     s0 = np.concatenate([[0], np.cumsum(counts * C)])
 
-    out_dtype = {np.float16: "float16", np.int16: "int16"}.get(
-        transport_dtype, "float32"
-    )
     # Double-buffer over two file sub-batches: the second chunk's upload and
-    # IMDCT overlap the first chunk's download.
+    # IMDCT overlap the first chunk's download. The output leaves the device
+    # entropy-packed in the i16 domain (x32767 quantization, ~1.5e-5 error —
+    # two orders below codec noise at every preset); transport_dtype is kept
+    # for API compatibility but no longer changes the wire format.
+    n2 = n // 2
     half = N // 2 if N >= 4 else N
     handles = []
     for lo in range(0, N, half):
         hi = min(lo + half, N)
         g = np.zeros((hi - lo, t_max, C), np.int32)
+        nv = np.zeros((hi - lo, t_max, C), np.int32)
         for i in range(lo, hi):
             g[i - lo, : counts[i]] = stream_nnz[s0[i] : s0[i + 1]].reshape(-1, C)
+            nv[i - lo, : counts[i]] = n2
         e_lo, e_hi = int(entry_off[s0[lo]]), int(entry_off[s0[hi]])
+        nv = nv.reshape(-1)
         handles.append(
             (
                 lo,
                 hi,
-                _decode_blocks_compact(
+                nv,
+                _decode_blocks_packed(
                     jnp.asarray(compact.pad_entries(entries_all[e_lo:e_hi])),
                     jnp.asarray(g.reshape(-1)),
                     jnp.int32(e_hi - e_lo),
                     jnp.asarray(sf[lo:hi]),
+                    jnp.asarray(nv),
                     int(rate),
                     n,
-                    out_dtype,
                 ),
             )
         )
+
     def fin() -> list[np.ndarray]:
+        from ..ops import ricepack, wirecodec
+
         outs = [None] * N
-        for lo, hi, h in handles:
-            segs = np.asarray(h)
-            if segs.dtype == np.int16:
-                segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
-            else:
-                segs = segs.astype(np.float32)
+        for lo, hi, nv, h in handles:
+            packed_d, lb_d, lo_d, mode_d, wk_d, _ovf = h
+            lb = np.asarray(lb_d).astype(np.int64)
+            lof = np.asarray(lo_d).astype(np.int64)
+            total = int(lof[-1] + lb[-1]) if len(lb) else 0
+            packed = ricepack.fetch_prefix(packed_d, total)
+            rows = wirecodec.unpack_pcm(
+                packed, lb, lof, np.asarray(mode_d), np.asarray(wk_d), nv, n2
+            )  # [(hi-lo)*T*C, n2]; overflow impossible: values clipped to i16
+            segs = np.moveaxis(rows.reshape(hi - lo, t_max, C, n2), 2, 3)
+            segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
             for i in range(lo, hi):
                 # drop each file's pre-roll frame
                 outs[i] = segs[i - lo, 1 : len(parsed_files[i])].reshape(-1)

@@ -86,7 +86,9 @@ class TestBulkLossy:
             assert abs(len(bulk[i]) - len(single)) <= 0.01 * len(single)
             a, b = lod.decode(bulk[i]), lod.decode(single)
             m = min(len(a), len(b))
-            assert np.abs(a[:m] - b[:m]).max() < 1e-5
+            # 3.1e-5 = two i16 wire-transport quanta (lossy decode outputs
+            # travel x32767-quantized, ~40 dB below codec noise).
+            assert np.abs(a[:m] - b[:m]).max() < 3.1e-5
 
     def test_bulk_snr(self, files):
         rate, fs = files

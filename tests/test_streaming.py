@@ -72,7 +72,9 @@ class TestStreamingDecoder:
         data = flo_tpu.encode_lossy(s, rate, 1, 2, analyze=False)
         want = flo_tpu.decode(data)
         got = feed_in_chunks(StreamingDecoder(), data, 499)
-        np.testing.assert_allclose(got, want, atol=1e-6)
+        # 1.6e-5: the bulk decoder's i16 wire transport quantum (the
+        # streaming path decodes at full f32 precision on the host).
+        np.testing.assert_allclose(got, want, atol=1.6e-5)
 
     def test_frames_available_and_finished(self):
         rate = 1000
