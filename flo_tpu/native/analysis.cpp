@@ -1,0 +1,191 @@
+// Host analysis hot paths (C++/OpenMP): the native equivalents of the
+// reference's analysis subsystem inner loops so bulk encode can afford to
+// auto-embed analysis metadata (lib.rs:219-283) at throughput:
+//
+//  - blake3_digest: from-spec BLAKE3 (the reference fingerprints audio with
+//    the Rust blake3 crate, analysis.rs:245-262). Chunks are independent by
+//    construction, so they hash in parallel; parents merge level-wise
+//    (equivalent to the spec's left-complete tree; validated against the
+//    official test vectors via tests/test_analysis.py).
+//  - kweight_cascade: the two BS.1770 K-weighting biquads (ebu_r128.rs:57-101)
+//    applied in-place, f64, parallel over independent lanes.
+//  - fir_absmax: per-lane max|conv(x, h)| for the reference's "4x" true peak
+//    (which truncates its fractional index, so one convolution suffices —
+//    see core/ebu_r128.py).
+//
+// Built lazily by flo_tpu/native/__init__.py; numpy/scipy fallbacks exist.
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------- BLAKE3
+
+static const uint32_t IV[8] = {0x6A09E667u, 0xBB67AE85u, 0x3C6EF372u,
+                               0xA54FF53Au, 0x510E527Fu, 0x9B05688Cu,
+                               0x1F83D9ABu, 0x5BE0CD19u};
+static const int PERM[16] = {2, 6, 3, 10, 7, 0, 4, 13, 1, 11, 12, 5, 9, 14, 15, 8};
+enum { CHUNK_START = 1, CHUNK_END = 2, PARENT = 4, ROOT = 8 };
+enum { CHUNK_LEN = 1024, BLOCK_LEN = 64 };
+
+static inline uint32_t rotr32(uint32_t x, int n) {
+  return (x >> n) | (x << (32 - n));
+}
+
+static inline void g(uint32_t* v, int a, int b, int c, int d, uint32_t x,
+                     uint32_t y) {
+  v[a] += v[b] + x;
+  v[d] = rotr32(v[d] ^ v[a], 16);
+  v[c] += v[d];
+  v[b] = rotr32(v[b] ^ v[c], 12);
+  v[a] += v[b] + y;
+  v[d] = rotr32(v[d] ^ v[a], 8);
+  v[c] += v[d];
+  v[b] = rotr32(v[b] ^ v[c], 7);
+}
+
+static void compress(const uint32_t cv[8], const uint32_t block[16],
+                     uint64_t counter, uint32_t block_len, uint32_t flags,
+                     uint32_t out[8]) {
+  uint32_t v[16];
+  uint32_t m[16];
+  std::memcpy(v, cv, 32);
+  std::memcpy(v + 8, IV, 16);
+  v[12] = (uint32_t)(counter & 0xFFFFFFFFu);
+  v[13] = (uint32_t)(counter >> 32);
+  v[14] = block_len;
+  v[15] = flags;
+  std::memcpy(m, block, 64);
+  for (int r = 0; r < 7; r++) {
+    g(v, 0, 4, 8, 12, m[0], m[1]);
+    g(v, 1, 5, 9, 13, m[2], m[3]);
+    g(v, 2, 6, 10, 14, m[4], m[5]);
+    g(v, 3, 7, 11, 15, m[6], m[7]);
+    g(v, 0, 5, 10, 15, m[8], m[9]);
+    g(v, 1, 6, 11, 12, m[10], m[11]);
+    g(v, 2, 7, 8, 13, m[12], m[13]);
+    g(v, 3, 4, 9, 14, m[14], m[15]);
+    if (r < 6) {
+      uint32_t t[16];
+      for (int i = 0; i < 16; i++) t[i] = m[PERM[i]];
+      std::memcpy(m, t, 64);
+    }
+  }
+  for (int i = 0; i < 8; i++) out[i] = v[i] ^ v[i + 8];
+}
+
+static void chunk_cv(const uint8_t* data, int64_t nbytes, uint64_t counter,
+                     uint32_t extra_flags_last, uint32_t out[8]) {
+  uint32_t cv[8];
+  std::memcpy(cv, IV, 32);
+  int64_t n_blocks = nbytes <= 0 ? 1 : (nbytes + BLOCK_LEN - 1) / BLOCK_LEN;
+  for (int64_t b = 0; b < n_blocks; b++) {
+    uint8_t buf[BLOCK_LEN] = {0};
+    int64_t off = b * BLOCK_LEN;
+    int64_t len = std::max<int64_t>(0, std::min<int64_t>(BLOCK_LEN, nbytes - off));
+    if (len > 0) std::memcpy(buf, data + off, (size_t)len);
+    uint32_t block[16];
+    std::memcpy(block, buf, 64);  // little-endian hosts only (x86/arm64)
+    uint32_t flags = 0;
+    if (b == 0) flags |= CHUNK_START;
+    if (b == n_blocks - 1) flags |= CHUNK_END | extra_flags_last;
+    uint32_t next[8];
+    compress(cv, block, counter, (uint32_t)len, flags, next);
+    std::memcpy(cv, next, 32);
+  }
+  std::memcpy(out, cv, 32);
+}
+
+void blake3_digest(const uint8_t* data, int64_t n, uint8_t out32[32]) {
+  int64_t n_chunks = n <= 0 ? 1 : (n + CHUNK_LEN - 1) / CHUNK_LEN;
+  if (n_chunks == 1) {
+    uint32_t cv[8];
+    chunk_cv(data, n, 0, ROOT, cv);
+    std::memcpy(out32, cv, 32);
+    return;
+  }
+  std::vector<uint32_t> cvs((size_t)n_chunks * 8);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < n_chunks; c++) {
+    int64_t off = c * CHUNK_LEN;
+    int64_t len = std::min<int64_t>(CHUNK_LEN, n - off);
+    chunk_cv(data + off, len, (uint64_t)c, 0, &cvs[(size_t)c * 8]);
+  }
+  // Level-wise pairwise merge, odd node carried (== the spec's tree).
+  int64_t m = n_chunks;
+  while (m > 2) {
+    int64_t pairs = m / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t p = 0; p < pairs; p++) {
+      uint32_t block[16];
+      std::memcpy(block, &cvs[(size_t)(2 * p) * 8], 32);
+      std::memcpy(block + 8, &cvs[(size_t)(2 * p + 1) * 8], 32);
+      uint32_t out[8];
+      compress(IV, block, 0, BLOCK_LEN, PARENT, out);
+      std::memcpy(&cvs[(size_t)p * 8], out, 32);
+    }
+    if (m & 1) std::memcpy(&cvs[(size_t)pairs * 8], &cvs[(size_t)(m - 1) * 8], 32);
+    m = pairs + (m & 1);
+  }
+  uint32_t block[16];
+  std::memcpy(block, &cvs[0], 32);
+  std::memcpy(block + 8, &cvs[8], 32);
+  uint32_t root[8];
+  compress(IV, block, 0, BLOCK_LEN, PARENT | ROOT, root);
+  std::memcpy(out32, root, 32);
+}
+
+// --------------------------------------------------- K-weighting biquads
+
+// x: [lanes, n] f64 in-place; coefs: shelf_b0..2, shelf_a1..2, hp_b0..2,
+// hp_a1..2 (a0 normalized to 1). Direct form I, sequential per lane —
+// bit-identical to scipy.signal.lfilter's recurrence.
+void kweight_cascade(double* x, int64_t lanes, int64_t n, const double* cf) {
+  const double sb0 = cf[0], sb1 = cf[1], sb2 = cf[2], sa1 = cf[3], sa2 = cf[4];
+  const double hb0 = cf[5], hb1 = cf[6], hb2 = cf[7], ha1 = cf[8], ha2 = cf[9];
+#pragma omp parallel for schedule(static)
+  for (int64_t l = 0; l < lanes; l++) {
+    double* row = x + l * n;
+    double x1 = 0, x2 = 0, y1 = 0, y2 = 0;     // stage 1 state
+    double u1 = 0, u2 = 0, w1 = 0, w2 = 0;     // stage 2 state
+    for (int64_t i = 0; i < n; i++) {
+      double xi = row[i];
+      double yi = sb0 * xi + sb1 * x1 + sb2 * x2 - sa1 * y1 - sa2 * y2;
+      x2 = x1; x1 = xi; y2 = y1; y1 = yi;
+      double wi = hb0 * yi + hb1 * u1 + hb2 * u2 - ha1 * w1 - ha2 * w2;
+      u2 = u1; u1 = yi; w2 = w1; w1 = wi;
+      row[i] = wi;
+    }
+  }
+}
+
+// ------------------------------------------------------- true-peak FIR
+
+// out_max[l] = max_i |sum_k h[k] * x[l, i - center + k]| (zeros outside).
+void fir_absmax(const double* x, int64_t lanes, int64_t n, const double* h,
+                int64_t taps, int64_t center, double* out_max) {
+#pragma omp parallel for schedule(static)
+  for (int64_t l = 0; l < lanes; l++) {
+    const double* row = x + l * n;
+    double best = 0.0;
+    for (int64_t i = 0; i < n; i++) {
+      double acc = 0.0;
+      int64_t k0 = std::max<int64_t>(0, center - i);
+      int64_t k1 = std::min<int64_t>(taps, n - i + center);
+      const double* src = row + i - center;
+      for (int64_t k = k0; k < k1; k++) acc += h[k] * src[k];
+      double a = acc < 0 ? -acc : acc;
+      if (a > best) best = a;
+    }
+    out_max[l] = best;
+  }
+}
+
+}  // extern "C"
