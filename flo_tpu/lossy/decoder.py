@@ -23,10 +23,11 @@ from .sparse import deserialize_sparse
 _BLOCK_SIZES = {0: 2048, 1: 256, 2: 2048, 3: 2048}  # Long/Short/Start/Stop
 
 
-def deserialize_frame_raw(data: bytes):
-    """Parse one transform blob -> (n, sf [C, 25] f32, [sparse bytes per
-    channel]) or None on truncation (decoder.rs:61-131). Sparse streams are
-    left encoded so callers can batch-decode them."""
+def _parse_frame_blob(data: bytes):
+    """Parse one transform blob -> (n, sf_u16 [C, 25] uint16, [sparse bytes
+    per channel]) or None on truncation (decoder.rs:61-131). Scale factors
+    stay in wire form and sparse streams stay encoded so bulk callers can
+    decode both in single vectorized passes."""
     if len(data) < 2:
         return None
     bs = data[0]
@@ -35,14 +36,14 @@ def deserialize_frame_raw(data: bytes):
     n = _BLOCK_SIZES[bs]
     C = data[1]
     pos = 2
-    sf = np.zeros((C, psycho.NUM_BARK_BANDS), dtype=np.float32)
-    for c in range(C):
-        need = 2 * psycho.NUM_BARK_BANDS
-        if pos + need > len(data):
-            return None
-        raw = np.frombuffer(data, dtype="<u2", count=psycho.NUM_BARK_BANDS, offset=pos)
-        pos += need
-        sf[c] = np.where(raw > 0, np.exp2((raw.astype(np.float32) - 32768.0) / 256.0), 0.0)
+    need = 2 * psycho.NUM_BARK_BANDS
+    if pos + need * C > len(data):
+        return None
+    sf_u16 = (
+        np.frombuffer(data, dtype="<u2", count=psycho.NUM_BARK_BANDS * C, offset=pos)
+        .reshape(C, psycho.NUM_BARK_BANDS)
+    )
+    pos += need * C
     streams = []
     for c in range(C):
         if pos + 4 > len(data):
@@ -53,7 +54,26 @@ def deserialize_frame_raw(data: bytes):
             return None
         streams.append(data[pos : pos + ln])
         pos += ln
-    return n, sf, streams
+    return n, sf_u16, streams
+
+
+def decode_sf_u16(sf_u16: np.ndarray) -> np.ndarray:
+    """Wire-form scale factors -> f32 (decoder.rs:96-99), any shape."""
+    return np.where(
+        sf_u16 > 0,
+        np.exp2((sf_u16.astype(np.float32) - 32768.0) / 256.0),
+        np.float32(0.0),
+    )
+
+
+def deserialize_frame_raw(data: bytes):
+    """Parse one transform blob -> (n, sf [C, 25] f32, [sparse bytes per
+    channel]) or None on truncation (decoder.rs:61-131)."""
+    p = _parse_frame_blob(data)
+    if p is None:
+        return None
+    n, sf_u16, streams = p
+    return n, decode_sf_u16(sf_u16), streams
 
 
 def _sparse_decode_rows(streams, n2: int) -> np.ndarray:
@@ -138,7 +158,7 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
         for f in flo.frames:
             if not f.channels:
                 continue
-            p = deserialize_frame_raw(f.channels[0].residuals)
+            p = _parse_frame_blob(f.channels[0].residuals)
             if p is None:
                 raise ValueError("Failed to deserialize transform frame")
             parsed.append(p)
@@ -151,26 +171,31 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
     t_max = max(len(p) for p in parsed_files)
     N = len(parsed_files)
 
-    # One native sparse-decode pass over every (file, frame, channel) stream.
     all_streams = []
-    for parsed in parsed_files:
-        for nn, s, streams in parsed:
-            all_streams.extend(streams)
-    all_rows = _sparse_decode_rows(all_streams, n // 2)
-
-    sf = np.zeros((N, t_max, C, psycho.NUM_BARK_BANDS), dtype=np.float32)
+    sf_u16 = np.zeros((N, t_max, C, psycho.NUM_BARK_BANDS), dtype=np.uint16)
     for i, parsed in enumerate(parsed_files):
         for t, (nn, s, streams) in enumerate(parsed):
             if nn != n or len(streams) != C or flos[i].header.sample_rate != rate:
                 raise ValueError("decode_many requires homogeneous files")
-            sf[i, t] = s
+            sf_u16[i, t] = s
+            all_streams.extend(streams)
+    sf = decode_sf_u16(sf_u16)  # one vectorized pass for the whole batch
 
     # Sparse upload: 4 bytes per nonzero coefficient instead of the dense
     # i16 grid (ops/compact.py). Stream order == (file, frame, channel) ==
     # the padded grid's row-major order (missing frame tails are zero rows).
-    rid, cid = np.nonzero(all_rows)
-    entries_all = compact.make_entries(cid.astype(np.int32), all_rows[rid, cid])
-    stream_nnz = np.bincount(rid, minlength=len(all_streams)).astype(np.int64)
+    # The C++ RLE walker emits the device entry form directly; the fallback
+    # goes dense + np.nonzero.
+    from .. import native
+
+    ent = native.sparse_decode_entries(all_streams, n // 2)
+    if ent is not None:
+        entries_all, stream_nnz = ent
+    else:
+        all_rows = _sparse_decode_rows(all_streams, n // 2)
+        rid, cid = np.nonzero(all_rows)
+        entries_all = compact.make_entries(cid.astype(np.int32), all_rows[rid, cid])
+        stream_nnz = np.bincount(rid, minlength=len(all_streams)).astype(np.int64)
     entry_off = np.concatenate([[0], np.cumsum(stream_nnz)])
     counts = np.array([len(p) for p in parsed_files], dtype=np.int64)
     s0 = np.concatenate([[0], np.cumsum(counts * C)])

@@ -47,6 +47,12 @@ _SIGNATURES = {
         "sparse_decode": [
             _u8p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i16p
         ],
+        "sparse_entry_counts": [
+            _u8p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i64p
+        ],
+        "sparse_decode_entries": [
+            _u8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i32p
+        ],
     },
     "analysis": {
         "blake3_digest": [_u8p, ctypes.c_int64, _u8p],
@@ -138,17 +144,26 @@ def rice_encode_batch(rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray):
 
 def rice_decode_batch(blobs, ks, lengths, out_width: int):
     """C++ batch Rice unpack into [n, out_width] int32, or None."""
-    lib = _load("rice")
-    if lib is None:
-        return None
     n = len(blobs)
     blob_lens = np.array([len(b) for b in blobs], dtype=np.int64)
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(blob_lens[:-1], out=offsets[1:])
     cat = np.frombuffer(b"".join(blobs), dtype=np.uint8) if n else np.zeros(0, np.uint8)
-    cat = np.ascontiguousarray(cat)
+    return rice_decode_concat(cat, offsets, blob_lens, ks, lengths, out_width)
+
+
+def rice_decode_concat(cat, offsets, blob_lens, ks, lengths, out_width: int):
+    """rice_decode_batch over an already-concatenated byte buffer (skips the
+    per-blob split/join — the decode hot paths hold (buffer, offsets))."""
+    lib = _load("rice")
+    if lib is None:
+        return None
+    n = len(offsets)
+    cat = np.ascontiguousarray(cat, dtype=np.uint8)
     if cat.size == 0:
         cat = np.zeros(1, dtype=np.uint8)  # valid pointer for empty input
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    blob_lens = np.ascontiguousarray(blob_lens, dtype=np.int64)
     ks = np.ascontiguousarray(ks, dtype=np.int32)
     lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     out = np.zeros((n, out_width), dtype=np.int32)
@@ -257,3 +272,39 @@ def fir_absmax(x: np.ndarray, h: np.ndarray, center: int):
         len(h), center, _ptr(out, ctypes.c_double),
     )
     return out
+
+
+def sparse_decode_entries(blobs, width: int):
+    """C++ sparse RLE -> row-major (col<<16 | i16 value) int32 entries.
+
+    Returns (entries int32 [total_nnz], stream_nnz int64 [n]) or None.
+    Zero VALUES inside nonzero runs are dropped, matching dense+np.nonzero.
+    """
+    lib = _load("sparse")
+    if lib is None or not hasattr(lib, "sparse_entry_counts"):
+        return None
+    n = len(blobs)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    cat = np.frombuffer(b"".join(blobs), dtype=np.uint8) if n else np.zeros(0, np.uint8)
+    cat = np.ascontiguousarray(cat)
+    if cat.size == 0:
+        cat = np.zeros(1, dtype=np.uint8)
+    counts = np.zeros(n, dtype=np.int64)
+    if n:
+        lib.sparse_entry_counts(
+            _ptr(cat, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+            _ptr(lens, ctypes.c_int64), n, width, _ptr(counts, ctypes.c_int64),
+        )
+    entry_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=entry_off[1:])
+    total = int(entry_off[-1] + counts[-1]) if n else 0
+    entries = np.zeros(max(total, 1), dtype=np.int32)
+    if n:
+        lib.sparse_decode_entries(
+            _ptr(cat, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+            _ptr(lens, ctypes.c_int64), _ptr(entry_off, ctypes.c_int64),
+            n, width, _ptr(entries, ctypes.c_int32),
+        )
+    return entries[:total], counts

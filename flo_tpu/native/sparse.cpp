@@ -106,4 +106,77 @@ void sparse_decode(const uint8_t* blob, const int64_t* offsets, const int64_t* l
     }
 }
 
+// Decode straight to (col << 16 | value) entries — the device-upload form
+// (flo_tpu/ops/compact.py) — skipping the dense i16 grid, host-side
+// np.nonzero, and entry packing entirely. Two passes: counts, then fill.
+void sparse_entry_counts(const uint8_t* blob, const int64_t* offsets,
+                         const int64_t* lens, int64_t n, int64_t width,
+                         int64_t* counts) {
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* d = blob + offsets[r];
+        const int64_t len = lens[r];
+        int64_t pos = 0, idx = 0, cnt = 0;
+        while (pos < len && idx < width) {
+            uint32_t zeros = 0;
+            int shift = 0;
+            while (pos < len) {
+                uint8_t b = d[pos++];
+                zeros |= static_cast<uint32_t>(b & 0x7F) << shift;
+                if (!(b & 0x80)) break;
+                shift += 7;
+                if (shift >= 32) break;
+            }
+            idx += zeros;
+            if (pos >= len) break;
+            uint32_t nz = d[pos++];
+            for (uint32_t j = 0; j < nz; ++j) {
+                if (pos + 2 > len || idx >= width) break;
+                int16_t v;
+                std::memcpy(&v, d + pos, 2);
+                pos += 2;
+                if (v != 0) ++cnt;  // mirror dense+nonzero: zero values drop
+                ++idx;
+            }
+        }
+        counts[r] = cnt;
+    }
+}
+
+void sparse_decode_entries(const uint8_t* blob, const int64_t* offsets,
+                           const int64_t* lens, const int64_t* entry_off,
+                           int64_t n, int64_t width, int32_t* entries) {
+#pragma omp parallel for schedule(dynamic, 8)
+    for (int64_t r = 0; r < n; ++r) {
+        const uint8_t* d = blob + offsets[r];
+        const int64_t len = lens[r];
+        int32_t* dst = entries + entry_off[r];
+        int64_t pos = 0, idx = 0, w = 0;
+        while (pos < len && idx < width) {
+            uint32_t zeros = 0;
+            int shift = 0;
+            while (pos < len) {
+                uint8_t b = d[pos++];
+                zeros |= static_cast<uint32_t>(b & 0x7F) << shift;
+                if (!(b & 0x80)) break;
+                shift += 7;
+                if (shift >= 32) break;
+            }
+            idx += zeros;
+            if (pos >= len) break;
+            uint32_t nz = d[pos++];
+            for (uint32_t j = 0; j < nz; ++j) {
+                if (pos + 2 > len || idx >= width) break;
+                int16_t v;
+                std::memcpy(&v, d + pos, 2);
+                pos += 2;
+                if (v != 0)
+                    dst[w++] = (static_cast<int32_t>(idx) << 16) |
+                               (static_cast<uint16_t>(v));
+                ++idx;
+            }
+        }
+    }
+}
+
 }  // extern "C"

@@ -97,19 +97,23 @@ def unpack_pcm(
     S: int,
 ) -> np.ndarray:
     """Host-side inverse of pack_pcm -> [L, S] int32 (zeros past nvalid)."""
+    from .. import native
+
     L = len(lane_bytes)
     out = np.zeros((L, S), np.int32)
     if L == 0:
         return out
-    pb = packed.tobytes()
+    packed = np.asarray(packed, dtype=np.uint8)
     rice_rows = np.flatnonzero(mode != RAW16)
     if len(rice_rows):
-        blobs = [
-            pb[lane_off[l] : lane_off[l] + lane_bytes[l]] for l in rice_rows
-        ]
-        dec = rice_host.decode_batch(
-            blobs, k[rice_rows], nvalid[rice_rows], S
+        dec = native.rice_decode_concat(
+            packed, lane_off[rice_rows], lane_bytes[rice_rows],
+            k[rice_rows], nvalid[rice_rows], S,
         )
+        if dec is None:
+            pb = packed.tobytes()
+            blobs = [pb[lane_off[l] : lane_off[l] + lane_bytes[l]] for l in rice_rows]
+            dec = rice_host.decode_batch(blobs, k[rice_rows], nvalid[rice_rows], S)
         # Fixed-predictor reconstruction = nested int32 prefix sums (wraps
         # exactly like the device's two's-complement deltas).
         once = np.cumsum(dec, axis=1, dtype=np.int32)
@@ -117,8 +121,15 @@ def unpack_pcm(
         rec = np.where(is2, np.cumsum(once, axis=1, dtype=np.int32), once)
         valid = np.arange(S)[None, :] < nvalid[rice_rows, None]
         out[rice_rows] = np.where(valid, rec, 0)
-    for l in np.flatnonzero(mode == RAW16):
-        n = int(nvalid[l])
-        raw = np.frombuffer(pb, "<i2", count=n, offset=int(lane_off[l]))
-        out[l, :n] = raw
+    # Raw LE16 lanes, vectorized per distinct length (byte gather + i16 view).
+    raw_rows = np.flatnonzero(mode == RAW16)
+    if len(raw_rows):
+        lens = np.asarray(nvalid)[raw_rows]
+        for n in np.unique(lens):
+            if n == 0:
+                continue
+            grp = raw_rows[lens == n]
+            idx = lane_off[grp][:, None] + np.arange(2 * n, dtype=np.int64)[None, :]
+            rows8 = packed[idx]  # fresh contiguous [G, 2n] uint8
+            out[grp, :n] = rows8.view("<i2").astype(np.int32)
     return out
