@@ -2,8 +2,11 @@
 
 The reference wraps Symphonia for MP3/WAV/FLAC/OGG/AAC input; this
 environment has no audio-codec libraries, so ingest supports the formats
-decodable with a hand-rolled parser: WAV (PCM u8/i16/i24/i32 and IEEE
-float32/64) and AIFF (via the stdlib). Other formats raise a clear error.
+decodable from spec: WAV (PCM u8/i16/i24/i32 and IEEE float32/64), AIFF /
+AIFF-C (vendored parser — the stdlib `aifc` module is gone in Python 3.13),
+and FLAC (flo_tpu.flac, built on this codebase's own LPC/Rice machinery).
+MP3/OGG/AAC raise a clear error: they need patent-encumbered DSP codecs
+with no from-spec path of reasonable size.
 WAV output matches the reference's 32-bit-float writer
 (reflo/src/audio.rs:284-320) byte-for-byte.
 """
@@ -112,24 +115,84 @@ def _parse_wav(data: bytes):
     return samples, int(sample_rate), int(channels), meta
 
 
-def _parse_aiff(data: bytes):
-    import aifc
-    import io
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rates)."""
+    if len(b) < 10:
+        raise UnsupportedFormatError("truncated AIFF sample rate")
+    se = int.from_bytes(b[0:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    exp = (se & 0x7FFF) - 16383 - 63
+    v = mant * (2.0**exp)
+    return -v if se & 0x8000 else v
 
-    with aifc.open(io.BytesIO(data), "rb") as f:
-        channels = f.getnchannels()
-        rate = int(f.getframerate())
-        width = f.getsampwidth()
-        frames = f.readframes(f.getnframes())
-    if width == 2:
-        samples = np.frombuffer(frames, ">i2").astype(np.float32) / 32768.0
-    elif width == 1:
-        samples = np.frombuffer(frames, np.int8).astype(np.float32) / 128.0
-    elif width == 4:
-        samples = np.frombuffer(frames, ">i4").astype(np.float32) / float(1 << 31)
+
+def _parse_aiff(data: bytes):
+    """Vendored AIFF/AIFF-C parser (the stdlib `aifc` module was removed in
+    Python 3.13). Supports PCM 8/16/24/32-bit, big-endian ('NONE') and the
+    little-endian 'sowt' AIFF-C variant."""
+    if len(data) < 12 or data[0:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise UnsupportedFormatError("not an AIFF file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None or len(comm) < 18:
+        raise UnsupportedFormatError("AIFF missing COMM/SSND chunk")
+
+    channels, nframes, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = int(round(_f80_to_float(comm[8:18])))
+    little = False
+    if is_aifc and len(comm) >= 22:
+        comp = comm[18:22]
+        if comp == b"sowt":
+            little = True
+        elif comp not in (b"NONE",):
+            raise UnsupportedFormatError(f"unsupported AIFF-C compression {comp!r}")
+
+    (offset,) = struct.unpack_from(">I", ssnd, 0)
+    raw = ssnd[8 + offset :]
+    bo = "<" if little else ">"
+    if bits == 16:
+        samples = np.frombuffer(raw[: len(raw) - len(raw) % 2], f"{bo}i2").astype(
+            np.float32
+        ) / 32768.0
+    elif bits == 8:
+        samples = np.frombuffer(raw, np.int8).astype(np.float32) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(raw[: len(raw) - len(raw) % 3], np.uint8).reshape(-1, 3)
+        if little:
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+        else:
+            v = (
+                (b[:, 0].astype(np.int32) << 16)
+                | (b[:, 1].astype(np.int32) << 8)
+                | b[:, 2].astype(np.int32)
+            )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        samples = v.astype(np.float32) / float(1 << 23)
+    elif bits == 32:
+        samples = np.frombuffer(raw[: len(raw) - len(raw) % 4], f"{bo}i4").astype(
+            np.float32
+        ) / float(1 << 31)
     else:
-        raise UnsupportedFormatError(f"unsupported AIFF width {width}")
-    return samples, rate, channels, AudioMetadata(source_format="AIFF")
+        raise UnsupportedFormatError(f"unsupported AIFF bit depth {bits}")
+    samples = samples[: nframes * channels] if nframes else samples
+    return samples, rate, int(channels), AudioMetadata(source_format="AIFF")
 
 
 def read_audio_from_bytes(data: bytes):
@@ -142,7 +205,10 @@ def read_audio_from_bytes(data: bytes):
     if data[:4] == b"FLO!":
         raise UnsupportedFormatError("input is already a flo file")
     if data[:4] == b"fLaC":
-        raise UnsupportedFormatError("FLAC input requires an external decoder (not available)")
+        from . import flac
+
+        d = flac.decode(data)
+        return d.samples, d.sample_rate, d.channels, d.metadata
     if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
         raise UnsupportedFormatError("MP3 input requires an external decoder (not available)")
     if data[:4] == b"OggS":
