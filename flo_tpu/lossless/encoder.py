@@ -96,6 +96,7 @@ def encode_many_to_frames_async(
     channels: int,
     compression_level: int = 5,
     analysis: str = "exact",
+    compat: str = "fixed",
 ) -> BulkFuture:
     """Encode MANY files (same rate/channels) in one batched pass.
 
@@ -113,20 +114,33 @@ def encode_many_to_frames_async(
     kinds, cand_orders, max_order = _candidate_plan(compression_level)
     NC = len(kinds)
 
-    per_file = []  # (num_frames, frame_samples, silent, fsc)
+    per_file = []  # (num_frames, frame_samples, silent, fsc int32)
     for samples in samples_list:
-        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
-        total = len(samples) // C
+        arr = np.asarray(samples)
+        # Integer input is taken as the i32 sample domain directly (no f32
+        # detour — the asymmetric 1/32767 scale makes i32->f32->i32 lossy
+        # for 1536 values, see core/convert.py), enabling exact ingest of
+        # integer PCM and byte-exact conformance re-encodes.
+        is_int = np.issubdtype(arr.dtype, np.integer)
+        flat = arr.reshape(-1)
+        total = len(flat) // C
         num_frames = -(-total // spf) if total else 0
         if num_frames == 0:
             per_file.append((0, np.zeros(0, np.int64), np.zeros(0, bool), None))
             continue
-        padded = np.zeros(num_frames * spf * C, dtype=np.float32)
-        padded[: total * C] = samples[: total * C]
-        fsc = padded.reshape(num_frames, spf, C)
+        if is_int:
+            padded = np.zeros(num_frames * spf * C, dtype=np.int32)
+            padded[: total * C] = flat[: total * C]
+            fsc = padded.reshape(num_frames, spf, C)
+            silent = (fsc == 0).all(axis=(1, 2))
+        else:
+            padded = np.zeros(num_frames * spf * C, dtype=np.float32)
+            padded[: total * C] = flat[: total * C].astype(np.float32)
+            f32 = padded.reshape(num_frames, spf, C)
+            silent = (np.abs(f32) < SILENCE_THRESHOLD).all(axis=(1, 2))
+            fsc = f32_to_i32_np(f32)
         frame_samples = np.full(num_frames, spf, dtype=np.int64)
         frame_samples[-1] = total - (num_frames - 1) * spf
-        silent = (np.abs(fsc) < SILENCE_THRESHOLD).all(axis=(1, 2))
         per_file.append((num_frames, frame_samples, silent, fsc))
 
     all_frames: List[List[Frame]] = []
@@ -157,7 +171,9 @@ def encode_many_to_frames_async(
     def fin() -> List[List[Frame]]:
         frames_out: List[Frame] = []
         for st in states:
-            frames_out.extend(_collect_chunk(st, C, kinds, cand_orders, max_order))
+            frames_out.extend(
+                _collect_chunk(st, C, kinds, cand_orders, max_order, compat)
+            )
         for (fidx, fi), frame in zip(active_slots, frames_out):
             all_frames[fidx][fi] = frame
         return all_frames
@@ -171,10 +187,11 @@ def encode_many_to_frames(
     channels: int,
     compression_level: int = 5,
     analysis: str = "exact",
+    compat: str = "fixed",
 ) -> List[List[Frame]]:
     """Blocking form of encode_many_to_frames_async."""
     return encode_many_to_frames_async(
-        samples_list, sample_rate, channels, compression_level, analysis
+        samples_list, sample_rate, channels, compression_level, analysis, compat
     ).result()
 
 
@@ -214,13 +231,15 @@ def _dispatch_active_frames(
 
 
 def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact"):
-    """Host marshal + async device dispatch for one sub-batch."""
+    """Host marshal + async device dispatch for one sub-batch.
+
+    fsc: [F', S, C] int32 samples (framing converts f32 inputs upstream)."""
     NC = len(kinds)
     spf = fsc.shape[1]
     max_order = max(
         (o for kd, o in zip(kinds, cand_orders) if kd == "lpc"), default=0
     )
-    ints = f32_to_i32_np(fsc)  # [F', S, C]
+    ints = fsc  # [F', S, C]
 
     if analysis == "device":
         pcm16 = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).astype(np.int16)
@@ -307,10 +326,18 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
     }
 
 
-def _collect_chunk(st, C, kinds, cand_orders, max_order):
+def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
     """Block on one sub-batch's results; slice the device-packed wire
     payloads and assemble its frames (host entropy coding only for the rare
-    `bad` lanes — >32-bit codes the device packer cannot express)."""
+    `bad` lanes — >32-bit codes the device packer cannot express).
+
+    compat="reference-bugs" reproduces the reference encoder BYTE-FOR-BYTE,
+    including its Raw-frame defect (encoder.rs:104-119 + writer.rs:266-268):
+    a frame whose channels all won with ORDER 0 — raw-PCM *or* fixed-0, whose
+    payload is Rice bytes — is typed Raw and serialized without the ALPC
+    framing, so fixed-0 payloads decode as garbage i16 PCM (the corruption
+    visible in Examples/white_noise.flo). The default "fixed" types Raw only
+    when every channel actually chose the raw-PCM strategy."""
     (
         sel_d, k_d, size_d, packed_dev, lane_bytes_d, lane_off_d, bad_d,
         res_dev, winc_d, wins_d,
@@ -353,11 +380,38 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order):
         st["mid_side"] if st["mid_side"] is not None else np.asarray(st["mid_side_dev"])
     )
 
+    bug_compat = compat == "reference-bugs"
     frames_out: List[Frame] = []
     for idx in range(Fa):
         n = int(frame_samples[idx])
         chans = []
         all_raw = True
+        if bug_compat:
+            # encoder.rs best_order==0 for raw AND fixed-0 winners.
+            all_order0 = all(
+                kinds[int(sel[idx * C + c])] == "raw"
+                or (kinds[int(sel[idx * C + c])] == "fixed"
+                    and cand_orders[int(sel[idx * C + c])] == 0)
+                for c in range(C)
+            )
+            if all_order0:
+                for c in range(C):
+                    lane = idx * C + c
+                    blob = repack.get(lane) or pb[
+                        lane_off[lane] : lane_off[lane] + lane_bytes[lane]
+                    ]
+                    # writer.rs:266-268: Raw channels emit the payload bytes
+                    # verbatim — fixed-0 winners lose their Rice framing.
+                    chans.append(ChannelData.raw(blob))
+                frames_out.append(
+                    Frame(
+                        frame_type=int(FrameType.RAW),
+                        frame_samples=n,
+                        flags=FRAME_FLAG_MID_SIDE if mid_side[idx] else 0,
+                        channels=chans,
+                    )
+                )
+                continue
         for c in range(C):
             lane = idx * C + c
             ci = int(sel[lane])
@@ -408,9 +462,12 @@ def encode_to_frames(
     sample_rate: int,
     channels: int,
     compression_level: int = 5,
+    compat: str = "fixed",
 ) -> List[Frame]:
     """Encode interleaved f32 samples into a list of container frames."""
-    return encode_many_to_frames([samples], sample_rate, channels, compression_level)[0]
+    return encode_many_to_frames(
+        [samples], sample_rate, channels, compression_level, "exact", compat
+    )[0]
 
 
 def encode_many_async(
@@ -469,10 +526,16 @@ def encode(
     bit_depth: int = 16,
     compression_level: int = 5,
     metadata: bytes = b"",
+    compat: str = "fixed",
 ) -> bytes:
-    """Encode interleaved f32 samples to flo bytes (encoder.rs:32-45)."""
+    """Encode interleaved f32 samples to flo bytes (encoder.rs:32-45).
+
+    compat="reference-bugs" reproduces the reference encoder's output
+    byte-for-byte, including its Raw-frame serialization defect — see
+    _collect_chunk. Use only for conformance testing against
+    reference-produced files."""
     level = min(int(compression_level), 9)
-    frames = encode_to_frames(samples, sample_rate, channels, level)
+    frames = encode_to_frames(samples, sample_rate, channels, level, compat)
     return writer.write(
         int(sample_rate), int(channels), int(bit_depth), level, frames, metadata
     )

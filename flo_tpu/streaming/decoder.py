@@ -84,7 +84,9 @@ class StreamingDecoder:
 
     def feed(self, data: bytes) -> bool:
         """Append bytes and advance the state machine; returns True if the
-        state advanced (decoder.rs:71-79)."""
+        state advanced (decoder.rs:71-79). Bad magic transitions to the
+        terminal ERROR state and returns False, matching the reference
+        (decoder.rs:186-189) — feeding an errored decoder raises."""
         if self._state == DecoderState.ERROR:
             raise ValueError("Decoder is in error state")
         self._buf.extend(data)
@@ -96,7 +98,7 @@ class StreamingDecoder:
             if len(self._buf) >= _HEADER_NEED:
                 if bytes(self._buf[0:4]) != MAGIC:
                     self._state = DecoderState.ERROR
-                    raise ValueError("Invalid flo file: bad magic")
+                    return False
                 self._header = reader.read_header(bytes(self._buf[:_HEADER_NEED]), 4)
                 self._state = DecoderState.WAITING_FOR_TOC
                 advanced = True

@@ -43,10 +43,13 @@ class TestStreamingDecoder:
         assert info.sample_rate == rate and info.total_samples == len(s)
 
     def test_bad_magic(self):
+        # Reference semantics (decoder.rs:186-189): bad magic transitions to
+        # the terminal Error state and returns; only FURTHER feeds raise.
         d = StreamingDecoder()
-        with pytest.raises(ValueError):
-            d.feed(b"JUNK" + b"\x00" * 100)
+        assert d.feed(b"JUNK" + b"\x00" * 100) is False
         assert d.state == DecoderState.ERROR
+        with pytest.raises(ValueError):
+            d.feed(b"more")
 
     @pytest.mark.parametrize("chunk", [53, 97, 1000])
     def test_chunked_equals_standard(self, chunk):
