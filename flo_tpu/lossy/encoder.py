@@ -37,8 +37,8 @@ def smr_threshold(quality: float) -> float:
     return -60.0 * (1.0 - t**0.5)
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "thr"))
-def _encode_blocks(blocks, sample_rate: int, thr: float):
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _encode_blocks(blocks, sample_rate: int, thr):
     """blocks [C, T, 2048] f32 -> (quantized i16 [C, T, 1024],
     scale factors f32 [C, T, 25]).
 
@@ -66,8 +66,8 @@ def _quantize_coeffs(coeffs, band, onehot, sample_rate, thr):
     return q, sf
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "thr"))
-def _encode_padded(padded, sample_rate: int, thr: float):
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _encode_padded(padded, sample_rate: int, thr):
     """padded [C, (T+1)*1024] f32 signal -> (q [C, T, 1024], sf [C, T, 25]).
 
     Builds the 50%-overlap block view ON DEVICE (each block = two adjacent
@@ -83,11 +83,12 @@ def _encode_padded(padded, sample_rate: int, thr: float):
     return _quantize_coeffs(coeffs, band, onehot, sample_rate, thr)
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "thr"))
-def _encode_padded_compact(padded, sample_rate: int, thr: float):
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _encode_padded_compact(padded, sample_rate: int, thr):
     """_encode_padded + device nonzero compaction: the host downloads 4 bytes
     per surviving coefficient instead of the dense i16 tensor (most
     coefficients are zeroed by the psychoacoustic gate — see ops/compact.py).
+    thr is TRACED, so one compiled program serves every quality preset.
 
     Returns (entries i32 [C*T*1024] prefix-packed, row_nnz [C*T], sf)."""
     q, sf = _encode_padded(padded, sample_rate, thr)
@@ -176,7 +177,8 @@ def encode_many_to_frames_async(
             (
                 hi - lo,
                 _encode_padded_compact(
-                    jnp.asarray(stacked[lo:hi]), int(sample_rate), smr_threshold(quality)
+                    jnp.asarray(stacked[lo:hi]), int(sample_rate),
+                    np.float32(smr_threshold(quality)),
                 ),
             )
         )
