@@ -50,7 +50,7 @@ from ..core.constants import (
 from ..core.convert import f32_to_i32_np
 from ..core.types import ChannelData, Frame
 from ..ops import lpc, ricepack
-from ..ops.select import encode_select_device, encode_select_pcm16
+from ..ops.select import encode_select_packed, encode_select_pcm16
 
 
 def _candidate_plan(compression_level: int):
@@ -242,12 +242,23 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
     ints = fsc  # [F', S, C]
 
     if analysis == "device":
-        pcm16 = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).astype(np.int16)
-        device_out = encode_select_device(
-            jnp.asarray(pcm16),
+        # Entropy-packed PCM upload (ops/wirecodec.pack_pcm_host): the input
+        # crosses the wire at compressed size; the device unpacks + runs the
+        # whole analysis + search (encode_select_packed).
+        from ..ops import riceunpack, wirecodec
+        from .decoder import _bucket_bytes
+
+        lanes_pcm = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).reshape(-1, spf)
+        nv_lane = np.repeat(frame_samples, C).astype(np.int64)
+        buf, bit_start, k_up, mode_up = wirecodec.pack_pcm_host(lanes_pcm, nv_lane)
+        nb = _bucket_bytes(len(buf))
+        if nb != len(buf):
+            buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
+        device_out = encode_select_packed(
+            jnp.asarray(buf), jnp.asarray(bit_start), jnp.asarray(k_up),
+            jnp.asarray(mode_up.astype(np.int32)),
             jnp.asarray(frame_samples.astype(np.int32)),
-            tuple(kinds),
-            tuple(cand_orders),
+            tuple(kinds), tuple(cand_orders), C, spf,
         )
         return {
             "device_out": device_out[:10],

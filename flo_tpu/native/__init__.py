@@ -142,6 +142,27 @@ def rice_encode_batch(rows: np.ndarray, ks: np.ndarray, lengths: np.ndarray):
     return [buf[int(offsets[i]) : int(offsets[i] + sizes[i])] for i in range(n)]
 
 
+def rice_encode_into(rows, ks, lengths, byte_offsets, out: np.ndarray) -> bool:
+    """C++ batch Rice pack at caller-chosen byte offsets into ``out``
+    (upload transport path). Returns False if the native lib is missing."""
+    lib = _load("rice")
+    if lib is None:
+        return False
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    n, stride = rows.shape
+    if n == 0:
+        return True
+    ks = np.ascontiguousarray(ks, dtype=np.int32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    byte_offsets = np.ascontiguousarray(byte_offsets, dtype=np.int64)
+    lib.rice_encode_batch(
+        _ptr(rows, ctypes.c_int32), n, stride,
+        _ptr(lengths, ctypes.c_int64), _ptr(ks, ctypes.c_int32),
+        _ptr(byte_offsets, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
+    )
+    return True
+
+
 def rice_decode_batch(blobs, ks, lengths, out_width: int):
     """C++ batch Rice unpack into [n, out_width] int32, or None."""
     n = len(blobs)

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_MASK15 = jnp.int32(0x7FFF)
+# Plain int (not jnp.int32): a module-level jnp constant would initialize a
+# JAX backend at import time (slow TPU handshake just to import flo_tpu).
+_MASK15 = 0x7FFF
 
 
 def limb_dot(c, s):

@@ -78,6 +78,39 @@ def reconstruct(residuals, coeffs, shifts, orders, is_fixed, unroll: int = 8):
     return out.T
 
 
+def reconstruct_host(residuals, coeffs, shifts, orders, is_fixed) -> np.ndarray:
+    """Exact numpy mirror of :func:`reconstruct` (i64 MAC + arithmetic shift,
+    int32 wrap — the reference's release-mode semantics, decoder.rs:92-273).
+
+    Used as the host fallback for the rare lanes the device bitstream
+    unpacker flags (q > riceunpack.MAX_Q or blob overrun) and as a test
+    oracle. Vectorized across lanes; sequential over samples.
+    """
+    residuals = np.asarray(residuals, np.int32)
+    L, S = residuals.shape
+    coeffs64 = np.asarray(coeffs, np.int64)
+    shifts64 = np.asarray(shifts, np.int64)
+    orders = np.asarray(orders)
+    is_fixed = np.asarray(is_fixed, bool)
+    carry = np.zeros((L, MAX_ORDER), np.int64)
+    out = np.empty((L, S), np.int32)
+    fixed64 = _FIXED_COEFFS.astype(np.int64)
+    for i in range(S):
+        use_ramp = i < orders
+        c_eff = np.where(
+            use_ramp[:, None],
+            np.where(is_fixed[:, None], fixed64[min(i, 4)][None, :], 0),
+            coeffs64,
+        )
+        pred = np.einsum("lj,lj->l", c_eff, carry) >> shifts64
+        s = pred + residuals[:, i]
+        s32 = ((s + (1 << 31)) & 0xFFFFFFFF).astype(np.int64) - (1 << 31)
+        out[:, i] = s32.astype(np.int32)
+        carry[:, 1:] = carry[:, :-1]
+        carry[:, 0] = s32
+    return out
+
+
 def autocorrelation_device(lanes, nvalid, max_order: int):
     """On-device autocorrelation lags 0..max_order in float32.
 

@@ -68,20 +68,24 @@ def _unzigzag(u):
 
 
 @partial(jax.jit, static_argnames=("S",))
-def unpack_lanes(buf, lane_bit_start, k, nvalid, S: int):
-    """Decode every lane's Rice stream from one byte buffer.
+def unpack_lanes(buf, lane_bit_start, k, nvalid, S: int, is_raw=None):
+    """Decode every lane's Rice (or raw-LE16) stream from one byte buffer.
 
     Args:
       buf: [B] uint8 — concatenated per-lane blobs (byte-aligned), then
         >= PAD_BYTES zero bytes.
       lane_bit_start: [L] int32 — 8 * byte offset of each lane's blob.
       k: [L] int32 Rice parameters; nvalid: [L] codes to decode (0 for lanes
-        the host patches separately — silence, raw PCM).
+        the host patches separately — silence).
       S: static row width (>= max nvalid).
+      is_raw: optional [L] bool — lane holds fixed-width 16-bit little-endian
+        codes (the writer's verbatim ``<i2`` raw-PCM payload, also
+        ops/ricepack's raw lane format) instead of Rice codes; values are
+        sign-extended to int32.
 
     Returns (rows [L, S] int32, end_bit [L] int32 — first bit after the last
-    consumed code, for host overrun checks, bad [L] bool — lane hit a code
-    with q > MAX_Q and must be host-decoded).
+    consumed code, for host overrun checks, bad [L] bool — lane hit a Rice
+    code with q > MAX_Q and must be host-decoded).
     """
     B = buf.shape[0]
     bl = buf.astype(jnp.uint32)
@@ -91,6 +95,7 @@ def unpack_lanes(buf, lane_bit_start, k, nvalid, S: int):
     )  # [B] big-endian 4-byte windows at every byte offset
 
     ku = k.astype(jnp.uint32)
+    raw = jnp.zeros(lane_bit_start.shape, bool) if is_raw is None else is_raw
 
     def step(carry, i):
         start, bad = carry
@@ -111,11 +116,17 @@ def unpack_lanes(buf, lane_bit_start, k, nvalid, S: int):
         )
         rem = jnp.where(ku == 0, 0, v32 >> jnp.where(ku == 0, 1, 32 - ku))
         u = (q.astype(jnp.uint32) << ku) | rem
-        val = _unzigzag(u)
+        val_rice = _unzigzag(u)
 
+        # Raw LE16: low byte first in the stream (always byte-aligned — raw
+        # lanes start byte-aligned and advance 16 bits per code).
+        u16 = ((w1 >> 24) | ((w1 >> 8) & jnp.uint32(0xFF00))).astype(jnp.int32)
+        val_raw = u16 - ((u16 & 0x8000) << 1)  # sign-extend 16 -> 32
+
+        val = jnp.where(raw, val_raw, val_rice)
         live = i < nvalid
-        bad = bad | (live & (q > MAX_Q))
-        nxt = jnp.where(live, start + q + 1 + k, start)
+        bad = bad | (live & ~raw & (q > MAX_Q))
+        nxt = jnp.where(live, start + jnp.where(raw, 16, q + 1 + k), start)
         return (nxt, bad), jnp.where(live, val, 0)
 
     (end_bit, bad), vals = jax.lax.scan(

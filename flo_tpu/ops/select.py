@@ -236,17 +236,44 @@ def encode_select_device(pcm16, nvalid_f, kinds: tuple, cand_orders: tuple):
     Returns the usual transport outputs plus the mid/side flags [F].
     """
     F, C, S = pcm16.shape
+    return _select_device_core(
+        pcm16.astype(jnp.int32), nvalid_f, kinds, cand_orders
+    )
+
+
+@partial(jax.jit, static_argnames=("kinds", "cand_orders", "C", "S"))
+def encode_select_packed(buf, bit_start, k_up, mode_up, nvalid_f,
+                         kinds: tuple, cand_orders: tuple, C: int, S: int):
+    """encode_select_device fed by an entropy-packed PCM UPLOAD: the host
+    ships ops/wirecodec.pack_pcm_host's buffer (compressed size) instead of
+    an i16 tensor, and the device recovers the [F, C, S] PCM lanes with
+    ops/riceunpack + prefix sums before running the same candidate search.
+    """
+    from .wirecodec import unpack_pcm_device
+
+    F = nvalid_f.shape[0]
+    nv_lane = jnp.repeat(nvalid_f.astype(jnp.int32), C)
+    pcm = unpack_pcm_device(buf, bit_start, k_up, mode_up, nv_lane, S)
+    return _select_device_core(pcm.reshape(F, C, S), nvalid_f, kinds, cand_orders)
+
+
+def _select_device_core(p, nvalid_f, kinds: tuple, cand_orders: tuple):
+    """Shared body: [F, C, S] int32 PCM -> transport outputs + mid/side."""
+    F, C, S = p.shape
     if C == 2:
-        l = pcm16[:, 0].astype(jnp.float32)
-        r = pcm16[:, 1].astype(jnp.float32)
+        l = p[:, 0].astype(jnp.float32)
+        r = p[:, 1].astype(jnp.float32)
         var_l = jnp.sum(l * l, axis=1)
         var_r = jnp.sum(r * r, axis=1)
         side = l - r
         var_side = jnp.sum(side * side, axis=1)
         mid_side = var_side < (var_l + var_r) * 0.5
+        mid = p[:, 0] + p[:, 1]
+        sid = p[:, 0] - p[:, 1]
+        p = jnp.where(mid_side[:, None, None], jnp.stack([mid, sid], axis=1), p)
     else:
         mid_side = jnp.zeros((F,), bool)
-    lanes = _lanes_from_pcm16(pcm16, mid_side)
+    lanes = p.reshape(F * C, S)
     nvalid = jnp.repeat(nvalid_f.astype(jnp.int32), C)
     L = lanes.shape[0]
     NC = len(kinds)

@@ -142,3 +142,100 @@ def test_stereo_decode_shapes(examples_dir):
     flo = reader.read(data)
     samples = lossless_decoder.decode(data)
     assert len(samples) == flo.header.total_samples * 2
+
+
+# --- device-unpacker host-fallback lanes ------------------------------------
+
+
+def _one_alpc_file(residuals, k, n, sample_rate=8000):
+    """Hand-build a 1-frame mono file whose single channel is a fixed-0
+    (identity) ALPC lane with the given Rice stream."""
+    from flo_tpu.container import writer
+    from flo_tpu.core.constants import FIXED_PREDICTOR_MARKER, ResidualEncoding
+    from flo_tpu.core.types import ChannelData, Frame
+
+    blob = rice_host.encode(np.asarray(residuals, np.int32), k)
+    frame = Frame(
+        frame_type=int(FrameType.ALPC1),
+        frame_samples=n,
+        channels=[
+            ChannelData(
+                predictor_coeffs=[],
+                shift_bits=FIXED_PREDICTOR_MARKER + 0,
+                residual_encoding=ResidualEncoding.RICE,
+                rice_parameter=k,
+                residuals=blob,
+            )
+        ],
+    )
+    return writer.write(sample_rate, 1, 16, 5, [frame], b""), blob
+
+
+def test_decode_big_quotient_lane_host_fallback():
+    """A k=0 spike gives a Rice quotient far above the device unpacker's
+    window (q > MAX_Q): the lane must be host-patched, bit-exactly."""
+    r = np.zeros(64, np.int32)
+    r[10] = 5000  # q = 10000 at k=0
+    r[40] = -7
+    data, _ = _one_alpc_file(r, 0, 64)
+    flo = reader.read(data)
+    got = lossless_decoder.decode_many([flo])[0]
+    from flo_tpu.core.convert import i32_to_f32_np
+    want = i32_to_f32_np(lossless_decoder.decode_file_i32(flo)[:, 0])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_decode_truncated_blob_zero_fills_like_reference():
+    """A Rice stream that ends early inside its declared payload must
+    zero-fill (reference BitReader semantics) even when the device unpacker
+    would read into the NEXT lane's bytes — the overrun check patches it."""
+    r = np.arange(-60, 60, dtype=np.int32)
+    k = rice_host.estimate_parameter(r)
+    full = rice_host.encode(r, k)
+    cut = full[: len(full) // 2]
+
+    from flo_tpu.container import writer
+    from flo_tpu.core.constants import FIXED_PREDICTOR_MARKER, ResidualEncoding
+    from flo_tpu.core.types import ChannelData, Frame
+
+    def ch(blob):
+        return ChannelData(
+            predictor_coeffs=[], shift_bits=FIXED_PREDICTOR_MARKER + 1,
+            residual_encoding=ResidualEncoding.RICE, rice_parameter=k,
+            residuals=blob,
+        )
+
+    # Two frames: the truncated lane first, a healthy one after it (so the
+    # device read past the cut lands in REAL bytes, not padding).
+    frames = [
+        Frame(frame_type=int(FrameType.ALPC1), frame_samples=len(r), channels=[ch(cut)]),
+        Frame(frame_type=int(FrameType.ALPC1), frame_samples=len(r), channels=[ch(full)]),
+    ]
+    data = writer.write(8000, 1, 16, 5, frames, b"")
+    flo = reader.read(data)
+    got = lossless_decoder.decode_many([flo])[0]
+    from flo_tpu.core.convert import i32_to_f32_np
+    want = i32_to_f32_np(lossless_decoder.decode_file_i32(flo)[:, 0])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_reconstruct_host_matches_device():
+    """The numpy fallback reconstruction equals the jitted scan."""
+    from flo_tpu.ops import lpc
+
+    rng = np.random.default_rng(11)
+    L, S = 6, 400
+    residuals = rng.integers(-2000, 2000, (L, S)).astype(np.int32)
+    coeffs = np.zeros((L, lpc.MAX_ORDER), np.int32)
+    shifts = np.zeros(L, np.int32)
+    orders = np.zeros(L, np.int32)
+    is_fixed = np.zeros(L, bool)
+    coeffs[0, :4] = [900, -300, 120, -40]; shifts[0] = 9; orders[0] = 4
+    coeffs[1, :2] = lpc._FIXED_COEFFS[2][:2]; orders[1] = 2; is_fixed[1] = True
+    coeffs[2, :1] = [1 << 14]; shifts[2] = 14; orders[2] = 1
+    # lane 3: identity; lane 4: fixed-4; lane 5: order-12 LPC
+    coeffs[4] = lpc._FIXED_COEFFS[4]; orders[4] = 4; is_fixed[4] = True
+    coeffs[5] = rng.integers(-1000, 1000, lpc.MAX_ORDER); shifts[5] = 10; orders[5] = 12
+    got = lpc.reconstruct_host(residuals, coeffs, shifts, orders, is_fixed)
+    want = np.asarray(lpc.reconstruct(residuals, coeffs, shifts, orders, is_fixed))
+    np.testing.assert_array_equal(got, want)

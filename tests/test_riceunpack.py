@@ -74,3 +74,39 @@ def test_unpack_empty_lane_points_at_padding():
     got, end_bit, bad, _ = _device_unpack([b""], [0], [0], 8)
     assert not bad.any()
     np.testing.assert_array_equal(got, 0)
+
+
+def test_unpack_raw16_lanes():
+    """Raw lanes decode the writer's verbatim little-endian i16 payload,
+    interleaved with Rice lanes in the same buffer."""
+    rng = np.random.default_rng(5)
+    S = 300
+    raw_vals = rng.integers(-32768, 32768, S).astype(np.int32)
+    rice_vals = rng.integers(-50, 50, S).astype(np.int32)
+    k = rice_host.estimate_parameter(rice_vals)
+    blobs = [
+        raw_vals.astype("<i2").tobytes(),
+        rice_host.encode(rice_vals, k),
+        raw_vals[::-1].astype("<i2").tobytes(),
+    ]
+    offs, pos = [], 0
+    for b in blobs:
+        offs.append(pos * 8)
+        pos += len(b)
+    buf = b"".join(blobs) + b"\x00" * riceunpack.PAD_BYTES
+    rows, end_bit, bad = (
+        np.asarray(a)
+        for a in riceunpack.unpack_lanes(
+            jnp.asarray(np.frombuffer(buf, np.uint8)),
+            jnp.asarray(np.array(offs, np.int32)),
+            jnp.asarray(np.array([0, k, 0], np.int32)),
+            jnp.asarray(np.full(3, S, np.int32)),
+            S,
+            jnp.asarray(np.array([True, False, True])),
+        )
+    )
+    assert not bad.any()
+    np.testing.assert_array_equal(rows[0], raw_vals)
+    np.testing.assert_array_equal(rows[1], rice_vals)
+    np.testing.assert_array_equal(rows[2], raw_vals[::-1])
+    assert end_bit[0] == offs[0] + 16 * S
