@@ -367,9 +367,17 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
                     rows_fix[j, : codes_n[gi]] = np.frombuffer(
                         blobs[gi], "<i2"
                     )[: codes_n[gi]].astype(np.int32)
-            rec = lpc.reconstruct_host(
-                rows_fix, coeffs[g], shifts[g], orders[g], is_fixed[g]
-            )
+            from .. import native
+
+            if native.lpc_reconstruct_into(
+                rows_fix, coeffs[g], shifts[g], orders[g], is_fixed[g],
+                np.full(len(g), S_max, np.int64),
+            ):
+                rec = rows_fix
+            else:
+                rec = lpc.reconstruct_host(
+                    rows_fix, coeffs[g], shifts[g], orders[g], is_fixed[g]
+                )
             fcs = rec.reshape(-1, channels, S_max).astype(np.int64)
             if channels == 2:
                 ms = mid_side[(g[::2] // channels)][:, None]
@@ -443,6 +451,21 @@ def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
     return decode_many_async(flos).result()
 
 
+def _undo_midside_host(fcs: np.ndarray, mid_side: np.ndarray, channels: int) -> np.ndarray:
+    """Mid/side -> L/R on [F, C, S] int32 frames (decoder.rs:75-89; Rust's
+    truncating `/ 2`)."""
+    if channels != 2:
+        return fcs
+    m, s = fcs[:, 0].astype(np.int64), fcs[:, 1].astype(np.int64)
+
+    def trunc_div2(t):
+        return t // 2 + ((t < 0) & (t % 2 != 0))
+
+    left = np.where(mid_side[:, None], trunc_div2(m + s), m)
+    right = np.where(mid_side[:, None], trunc_div2(m - s), s)
+    return np.stack([left.astype(np.int32), right.astype(np.int32)], axis=1)
+
+
 def decode_file_i32(flo: FloFile) -> np.ndarray:
     """Integer-domain decode: [total_samples, channels] int32 (pre mid/side
     conversion applied, i.e. true L/R). Used by bit-exactness tests."""
@@ -452,15 +475,34 @@ def decode_file_i32(flo: FloFile) -> np.ndarray:
         return np.zeros((0, channels), dtype=np.int32)
     rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths = marshaled
     samples = np.asarray(lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed))
-    fcs = samples.reshape(-1, channels, S)
-    if channels == 2:
-        m, s = fcs[:, 0].astype(np.int64), fcs[:, 1].astype(np.int64)
-
-        def trunc_div2(t):
-            return t // 2 + ((t < 0) & (t % 2 != 0))
-
-        left = np.where(mid_side[:, None], trunc_div2(m + s), m)
-        right = np.where(mid_side[:, None], trunc_div2(m - s), s)
-        fcs = np.stack([left.astype(np.int32), right.astype(np.int32)], axis=1)
+    fcs = _undo_midside_host(samples.reshape(-1, channels, S), mid_side, channels)
     parts = [fcs[i, :, : frame_lengths[i]].T for i in range(fcs.shape[0])]
     return np.concatenate(parts, axis=0)
+
+
+def decode_file_host(flo: FloFile) -> np.ndarray:
+    """Single-file decode with NO device round trip -> interleaved f32.
+
+    The bulk pipelines amortize the device link's latency over thousands of
+    lanes; a per-frame streaming next_frame() or a seek's decode_frame_at
+    cannot, so those paths run entirely on the host: C++ batch Rice unpack
+    plus C++ LPC reconstruction (native/rice.cpp lpc_reconstruct_batch, the
+    native analog of decoder.rs:92-273's serial loops). Falls back to the
+    jitted device path when the native toolchain is unavailable.
+    """
+    from .. import native
+    from ..core.convert import i32_to_f32_np
+
+    channels = flo.header.channels
+    marshaled = _marshal_lanes(flo)
+    if marshaled is None:
+        return np.zeros(0, dtype=np.float32)
+    rows, coeffs, shifts, orders, is_fixed, mid_side, S, frame_lengths = marshaled
+    if not native.lpc_reconstruct_into(
+        rows, coeffs, shifts, orders, is_fixed, np.repeat(frame_lengths, channels)
+    ):
+        return decode_file(flo)
+    fcs = _undo_midside_host(rows.reshape(-1, channels, S), mid_side, channels)
+    parts = [fcs[i, :, : frame_lengths[i]].T for i in range(fcs.shape[0])]
+    ints = np.concatenate(parts, axis=0)
+    return i32_to_f32_np(ints).reshape(-1)

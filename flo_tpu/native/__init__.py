@@ -40,6 +40,9 @@ _SIGNATURES = {
         "rice_decode_batch": [
             _u8p, _i64p, _i64p, _i32p, _i64p, ctypes.c_int64, ctypes.c_int64, _i32p
         ],
+        "lpc_reconstruct_batch": [
+            _i32p, ctypes.c_int64, ctypes.c_int64, _i32p, _i32p, _i32p, _u8p, _i64p
+        ],
     },
     "sparse": {
         "sparse_sizes": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p],
@@ -159,6 +162,36 @@ def rice_encode_into(rows, ks, lengths, byte_offsets, out: np.ndarray) -> bool:
         _ptr(rows, ctypes.c_int32), n, stride,
         _ptr(lengths, ctypes.c_int64), _ptr(ks, ctypes.c_int32),
         _ptr(byte_offsets, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
+    )
+    return True
+
+
+def lpc_reconstruct_into(rows: np.ndarray, coeffs, shifts, orders, is_fixed,
+                         lengths) -> bool:
+    """C++ in-place LPC/fixed reconstruction over [L, S] int32 residual rows
+    (decoder.rs:92-273 semantics — i64 MAC >> shift, int32 wrap, fixed-lane
+    warm-up ramp). The host half of the streaming/seeking single-frame decode
+    path, where a per-frame device round trip would be pure latency.
+    Returns False if the native lib is missing (callers fall back to the
+    jitted scan)."""
+    lib = _load("rice")
+    if lib is None or not hasattr(lib, "lpc_reconstruct_batch"):
+        return False
+    assert rows.dtype == np.int32 and rows.flags.c_contiguous
+    n, stride = rows.shape
+    if n == 0:
+        return True
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.int32)
+    assert coeffs.shape == (n, 12)  # ops/lpc.MAX_ORDER, hardcoded in the C++
+    shifts = np.ascontiguousarray(shifts, dtype=np.int32)
+    orders = np.ascontiguousarray(orders, dtype=np.int32)
+    fx = np.ascontiguousarray(np.asarray(is_fixed), dtype=np.uint8)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    lib.lpc_reconstruct_batch(
+        _ptr(rows, ctypes.c_int32), n, stride,
+        _ptr(coeffs, ctypes.c_int32), _ptr(shifts, ctypes.c_int32),
+        _ptr(orders, ctypes.c_int32), _ptr(fx, ctypes.c_uint8),
+        _ptr(lengths, ctypes.c_int64),
     )
     return True
 

@@ -149,4 +149,44 @@ void rice_decode_batch(const uint8_t* blob, const int64_t* offsets,
     }
 }
 
+// LPC / fixed-predictor reconstruction, in place over residual rows
+// (decoder.rs:92-273 semantics): s[i] = r[i] + ((Σ_j c_eff[j]·s[i-1-j]) >> shift)
+// with int32 wrapping add; warm-up (i < order) uses the ramped fixed
+// predictor FIXED[min(i,4)] on fixed lanes and zero coefficients (residual
+// verbatim) on LPC lanes. Coefficient stride is 12 (ops/lpc.MAX_ORDER).
+// This is the host half of the streaming / seeking single-frame decode path,
+// where a per-frame device round trip would be pure latency.
+void lpc_reconstruct_batch(int32_t* rows, int64_t n_lanes, int64_t stride,
+                           const int32_t* coeffs, const int32_t* shifts,
+                           const int32_t* orders, const uint8_t* is_fixed,
+                           const int64_t* lengths) {
+    static const int32_t FIXED[5][12] = {
+        {0}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1},
+    };
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t l = 0; l < n_lanes; ++l) {
+        int32_t* r = rows + l * stride;
+        const int32_t* c = coeffs + l * 12;
+        const int shift = shifts[l];
+        const int32_t order = orders[l];
+        const bool fx = is_fixed[l] != 0;
+        const int64_t n = lengths[l];
+        int64_t carry[12] = {0};
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t* ce =
+                (i < order) ? (fx ? FIXED[i < 4 ? i : 4] : nullptr) : c;
+            int64_t acc = 0;
+            if (ce)
+                for (int j = 0; j < 12; ++j)
+                    acc += static_cast<int64_t>(ce[j]) * carry[j];
+            const int32_t s = static_cast<int32_t>(
+                static_cast<uint32_t>(acc >> shift) +
+                static_cast<uint32_t>(r[i]));
+            r[i] = s;
+            for (int j = 11; j > 0; --j) carry[j] = carry[j - 1];
+            carry[0] = s;
+        }
+    }
+}
+
 }  // extern "C"

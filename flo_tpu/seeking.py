@@ -126,4 +126,5 @@ def decode_frame_at(flo_data: bytes, frame_index: int) -> np.ndarray:
         sub = FloFile(
             header=flo.header, toc=flo.toc, frames=[frame], extra=b"", metadata=flo.metadata
         )
-        return lossless_decoder.decode_file(sub)
+        # Single-frame decode: host path (no device round-trip latency).
+        return lossless_decoder.decode_file_host(sub)

@@ -165,7 +165,8 @@ class StreamingDecoder:
         sub = FloFile(header=self._header, toc=[], frames=[frame])
         from ..lossless import decoder as lossless_decoder
 
-        return lossless_decoder.decode_file(sub)
+        # Host path: a per-frame device round trip is pure latency here.
+        return lossless_decoder.decode_file_host(sub)
 
     def _decode_lossy(self, frame: Frame) -> np.ndarray:
         import jax.numpy as jnp

@@ -239,3 +239,47 @@ def test_reconstruct_host_matches_device():
     got = lpc.reconstruct_host(residuals, coeffs, shifts, orders, is_fixed)
     want = np.asarray(lpc.reconstruct(residuals, coeffs, shifts, orders, is_fixed))
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_reconstruct_matches_oracles():
+    """The C++ in-place reconstruction (native/rice.cpp lpc_reconstruct_batch)
+    equals both the numpy oracle and the jitted scan, including int32 wrap."""
+    from flo_tpu import native
+    from flo_tpu.ops import lpc
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(23)
+    L, S = 7, 600
+    residuals = rng.integers(-30000, 30000, (L, S)).astype(np.int32)
+    coeffs = np.zeros((L, lpc.MAX_ORDER), np.int32)
+    shifts = np.zeros(L, np.int32)
+    orders = np.zeros(L, np.int32)
+    is_fixed = np.zeros(L, bool)
+    coeffs[0, :4] = [900, -300, 120, -40]; shifts[0] = 9; orders[0] = 4
+    for o in range(5):
+        coeffs[1 + o] = lpc._FIXED_COEFFS[o]; orders[1 + o] = o; is_fixed[1 + o] = True
+    coeffs[6] = rng.integers(-(1 << 14), 1 << 14, lpc.MAX_ORDER)
+    shifts[6] = 13; orders[6] = 12
+    lengths = np.full(L, S, np.int64)
+    lengths[2] = 17  # short lane: tail must stay untouched (residuals)
+
+    want = lpc.reconstruct_host(residuals, coeffs, shifts, orders, is_fixed)
+    got = residuals.copy()
+    assert native.lpc_reconstruct_into(got, coeffs, shifts, orders, is_fixed, lengths)
+    for l in range(L):
+        n = int(lengths[l])
+        np.testing.assert_array_equal(got[l, :n], want[l, :n])
+        np.testing.assert_array_equal(got[l, n:], residuals[l, n:])
+
+
+def test_decode_file_host_matches_bulk(examples_dir):
+    """The no-device host decode path (streaming/seeking) is bit-identical to
+    the bulk device decode on a real corpus file."""
+    from flo_tpu.lossless import decoder as lld
+
+    data = (examples_dir / "chord_cmajor_stereo.flo").read_bytes()
+    flo = reader.read(data)
+    host = lld.decode_file_host(flo)
+    bulk = lld.decode_many([flo])[0]
+    np.testing.assert_array_equal(host, bulk)
