@@ -44,6 +44,20 @@ _SIGNATURES = {
             _i32p, ctypes.c_int64, ctypes.c_int64, _i32p, _i32p, _i32p, _u8p, _i64p
         ],
     },
+    "blockpack": {
+        "blockpack_analyze": [
+            _i32p, ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64,
+            _u8p, _u8p, _i64p,
+        ],
+        "blockpack_pack": [
+            _i32p, ctypes.c_int64, ctypes.c_int64, _i64p, ctypes.c_int64,
+            _u8p, _u8p, _i64p, _u8p,
+        ],
+        "blockpack_unpack": [
+            _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            ctypes.c_int64, _i32p,
+        ],
+    },
     "sparse": {
         "sparse_sizes": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p],
         "sparse_encode": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p, _u8p],
@@ -226,6 +240,59 @@ def rice_decode_concat(cat, offsets, blob_lens, ks, lengths, out_width: int):
             _ptr(cat, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
             _ptr(blob_lens, ctypes.c_int64), _ptr(ks, ctypes.c_int32),
             _ptr(lengths, ctypes.c_int64), n, out_width,
+            _ptr(out, ctypes.c_int32),
+        )
+    return out
+
+
+# ---------------- Blockpack wire transport ----------------
+
+
+def blockpack_analyze(rows: np.ndarray, nvalid: np.ndarray, nblk: int):
+    """C++ mode/width/size analysis; (modes, widths, lane_bytes) or None."""
+    lib = _load("blockpack")
+    if lib is None:
+        return None
+    L, stride = rows.shape
+    modes = np.zeros(L, np.uint8)
+    widths = np.zeros((L, nblk), np.uint8)
+    lane_bytes = np.zeros(L, np.int64)
+    if L:
+        lib.blockpack_analyze(
+            _ptr(rows, ctypes.c_int32), L, stride, _ptr(nvalid, ctypes.c_int64),
+            nblk, _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
+            _ptr(lane_bytes, ctypes.c_int64),
+        )
+    return modes, widths, lane_bytes
+
+
+def blockpack_pack(rows, nvalid, nblk, modes, widths, lane_off, out) -> bool:
+    """C++ pack into ``out`` at lane_off; False if the lib is missing."""
+    lib = _load("blockpack")
+    if lib is None:
+        return False
+    L, stride = rows.shape
+    if L:
+        lib.blockpack_pack(
+            _ptr(rows, ctypes.c_int32), L, stride, _ptr(nvalid, ctypes.c_int64),
+            nblk, _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
+            _ptr(lane_off, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
+        )
+    return True
+
+
+def blockpack_unpack(buf, lane_off, modes, widths, nvalid, S: int):
+    """C++ unpack -> [L, S] int32 rows, or None."""
+    lib = _load("blockpack")
+    if lib is None:
+        return None
+    L, nblk = widths.shape
+    out = np.zeros((L, S), np.int32)
+    if L:
+        lib.blockpack_unpack(
+            _ptr(buf, ctypes.c_uint8), _ptr(lane_off, ctypes.c_int64),
+            _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
+            L, nblk, _ptr(nvalid, ctypes.c_int64), S,
             _ptr(out, ctypes.c_int32),
         )
     return out

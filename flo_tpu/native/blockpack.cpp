@@ -1,0 +1,178 @@
+// Fixed-width block-packed integer wire transport (host half).
+//
+// The host<->device transport for bulk PCM / residual tensors. Rice coding
+// on the wire proved host-hostile in this environment (single CPU core, and
+// spiky real content defeats per-lane escape hatches — a Rice quotient can
+// legitimately run to 255, rice.rs:29-69); fixed-width blocks have NO escape
+// cases and unpack on the device with pure gather/shift/mask (no sequential
+// scan), at ~10-15% more bytes than Rice.
+//
+// Format, per lane (mode in {0: values, 1: first delta, 2: second delta},
+// transform applied with int32 wrap, then zigzag u = (v<<1)^(v>>31)):
+//   codes are grouped in blocks of BLK=256; block b stores its 256 codes at
+//   widths[lane][b] bits each, LSB-first in little-endian bytes; block size
+//   is exactly 32*w bytes (BLK/8 * w), so blocks are byte-aligned with zero
+//   padding. Codes past nvalid are zero. widths/modes/lane offsets travel as
+//   separate (tiny) arrays.
+//
+// All functions are single-pass per lane; OpenMP if available (this image
+// runs them on one core — keep the inner loops tight).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int64_t BLK = 256;
+
+inline uint32_t zigzag32(int32_t v) {
+    return (static_cast<uint32_t>(v) << 1) ^ static_cast<uint32_t>(v >> 31);
+}
+
+inline int width_of(uint32_t maxu) {
+    return maxu == 0 ? 0 : 32 - __builtin_clz(maxu);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: per lane pick the cheapest transform and record per-block widths
+// and the lane's packed byte size.
+void blockpack_analyze(const int32_t* rows, int64_t L, int64_t stride,
+                       const int64_t* nvalid, int64_t nblk,
+                       uint8_t* modes, uint8_t* widths, int64_t* lane_bytes) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t l = 0; l < L; ++l) {
+        const int32_t* r = rows + l * stride;
+        const int64_t n = nvalid[l];
+        int64_t bytes[3] = {0, 0, 0};
+        uint8_t* wl = widths + l * nblk;
+        // Per-block widths for each candidate transform, streamed.
+        uint8_t* w0s = new uint8_t[3 * nblk];
+        uint32_t prev = 0, prevd = 0;
+        for (int64_t b = 0; b < nblk; ++b) {
+            uint32_t m0 = 0, m1 = 0, m2 = 0;
+            const int64_t j0 = b * BLK;
+            const int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
+            for (int64_t j = j0; j < j1; ++j) {
+                const uint32_t v = static_cast<uint32_t>(r[j]);
+                const uint32_t d1 = v - prev;
+                const uint32_t d2 = d1 - prevd;
+                prev = v;
+                prevd = d1;
+                uint32_t z;
+                z = zigzag32(static_cast<int32_t>(v));  if (z > m0) m0 = z;
+                z = zigzag32(static_cast<int32_t>(d1)); if (z > m1) m1 = z;
+                z = zigzag32(static_cast<int32_t>(d2)); if (z > m2) m2 = z;
+            }
+            const int w0 = width_of(m0), w1 = width_of(m1), w2 = width_of(m2);
+            w0s[b] = static_cast<uint8_t>(w0);
+            w0s[nblk + b] = static_cast<uint8_t>(w1);
+            w0s[2 * nblk + b] = static_cast<uint8_t>(w2);
+            bytes[0] += 32 * w0;
+            bytes[1] += 32 * w1;
+            bytes[2] += 32 * w2;
+        }
+        int mode = 0;
+        if (bytes[1] < bytes[mode]) mode = 1;
+        if (bytes[2] < bytes[mode]) mode = 2;
+        modes[l] = static_cast<uint8_t>(mode);
+        lane_bytes[l] = bytes[mode];
+        std::memcpy(wl, w0s + mode * nblk, nblk);
+        delete[] w0s;
+    }
+}
+
+// Pass 2: pack each lane at its byte offset.
+void blockpack_pack(const int32_t* rows, int64_t L, int64_t stride,
+                    const int64_t* nvalid, int64_t nblk,
+                    const uint8_t* modes, const uint8_t* widths,
+                    const int64_t* lane_off, uint8_t* out) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t l = 0; l < L; ++l) {
+        const int32_t* r = rows + l * stride;
+        const int64_t n = nvalid[l];
+        const int mode = modes[l];
+        const uint8_t* wl = widths + l * nblk;
+        uint8_t* dst = out + lane_off[l];
+        uint64_t acc = 0;
+        int nbits = 0;
+        uint32_t prev = 0, prevd = 0;
+        for (int64_t b = 0; b < nblk; ++b) {
+            const int w = wl[b];
+            const int64_t j0 = b * BLK;
+            const int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
+            for (int64_t j = j0; j < j0 + BLK; ++j) {
+                uint32_t z = 0;
+                if (j < j1) {
+                    const uint32_t v = static_cast<uint32_t>(r[j]);
+                    const uint32_t d1 = v - prev;
+                    const uint32_t d2 = d1 - prevd;
+                    prev = v;
+                    prevd = d1;
+                    const uint32_t t = mode == 0 ? v : (mode == 1 ? d1 : d2);
+                    z = zigzag32(static_cast<int32_t>(t));
+                }
+                if (w) {
+                    acc |= static_cast<uint64_t>(z) << nbits;  // LSB-first
+                    nbits += w;
+                    while (nbits >= 8) {
+                        *dst++ = static_cast<uint8_t>(acc);
+                        acc >>= 8;
+                        nbits -= 8;
+                    }
+                }
+            }
+            // 256 codes * w bits is a whole number of bytes: nbits == 0 here.
+        }
+    }
+}
+
+// Inverse of blockpack_pack: decode each lane into out rows (zeros past
+// nvalid).
+void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
+                      const uint8_t* modes, const uint8_t* widths,
+                      int64_t L, int64_t nblk, const int64_t* nvalid,
+                      int64_t out_stride, int32_t* out) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t l = 0; l < L; ++l) {
+        const int64_t n = nvalid[l];
+        const int mode = modes[l];
+        const uint8_t* wl = widths + l * nblk;
+        const uint8_t* src = buf + lane_off[l];
+        int32_t* dst = out + l * out_stride;
+        uint64_t acc = 0;
+        int nbits = 0;
+        uint32_t c1 = 0, c2 = 0;
+        for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
+            const int w = wl[b];
+            const uint32_t mask =
+                w >= 32 ? 0xFFFFFFFFu : ((1u << w) - 1u);
+            const int64_t j0 = b * BLK;
+            for (int64_t j = j0; j < j0 + BLK; ++j) {
+                uint32_t z = 0;
+                if (w) {
+                    while (nbits < w) {
+                        acc |= static_cast<uint64_t>(*src++) << nbits;
+                        nbits += 8;
+                    }
+                    z = static_cast<uint32_t>(acc) & mask;
+                    acc >>= w;
+                    nbits -= w;
+                }
+                const uint32_t v =
+                    (z >> 1) ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
+                c1 += v;        // mode 1: value = cumsum(delta)
+                c2 += c1;       // mode 2: value = cumsum(cumsum(delta2))
+                if (j < n)
+                    dst[j] = static_cast<int32_t>(
+                        mode == 0 ? v : (mode == 1 ? c1 : c2));
+            }
+        }
+        if (n < out_stride)
+            std::memset(dst + n, 0, (out_stride - n) * sizeof(int32_t));
+    }
+}
+
+}  // extern "C"

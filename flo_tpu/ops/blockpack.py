@@ -1,0 +1,333 @@
+"""Fixed-width block-packed integer wire transport.
+
+The ONE transport format for every bulk host<->device tensor (PCM uploads,
+residual uploads, reconstructed-PCM downloads). Design rationale, measured on
+this environment (single host CPU core, ~30-40 MB/s tunnel both ways):
+
+* Rice coding on the wire needs either a sequential device scan to decode
+  (hundreds of ms per chunk) or heavy host numpy (seconds), and real content
+  defeats per-lane escape hatches — one transient per 1 s frame is enough to
+  push a Rice quotient past any fixed device window (rice.rs caps unary runs
+  at 255, so 271-bit codes are format-legal).
+* Fixed-width blocks have NO escape cases (w <= 32 covers any int32), cost
+  ~10-15% more bytes than Rice, pack/unpack on the host in one C++ pass
+  (native/blockpack.cpp), and unpack on the DEVICE with pure gather/shift/
+  mask + cumsum — no lax.scan anywhere.
+
+Format (shared with the C++ half, see native/blockpack.cpp): per lane a
+transform mode (0 = values, 1 = first delta, 2 = second delta; int32 wrap),
+zigzag, then blocks of BLK=256 codes at a per-block width w in [0, 32],
+LSB-first in little-endian bytes — a block is exactly 32*w bytes, so
+everything stays byte-aligned with zero padding. Per-lane modes, per-block
+widths (u8), and lane byte offsets travel as separate tiny arrays; offsets
+are recomputed from widths on whichever side needs them.
+
+Silence/constant lanes pack to w=0 blocks: zero payload bytes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BLK = 256
+
+#: Padding bytes after the packed payload so 8-byte device windows at the
+#: final code never read out of bounds.
+PAD_BYTES = 8
+
+
+def nblocks(S: int) -> int:
+    return -(-S // BLK)
+
+
+# ---------------------------------------------------------------------------
+# Host half (C++ single-pass with a vectorized numpy fallback).
+# ---------------------------------------------------------------------------
+
+
+def _np_zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int32, copy=False)
+    return ((v << 1) ^ (v >> 31)).view(np.uint32)
+
+
+def _np_widths(z: np.ndarray, nblk: int) -> np.ndarray:
+    """Per-block bit widths of zigzag codes z [L, nblk*BLK] -> [L, nblk]."""
+    m = z.reshape(z.shape[0], nblk, BLK).max(axis=2)
+    # bit_length via float exponent would be inexact near 2^24; use a table
+    # walk: width = position of highest set bit + 1.
+    w = np.zeros(m.shape, np.uint8)
+    cur = m.copy()
+    for shift in (16, 8, 4, 2, 1):
+        big = cur >= (np.uint32(1) << shift)
+        w[big] += shift
+        cur = np.where(big, cur >> shift, cur)
+    w[m > 0] += 1
+    return w
+
+
+def analyze_host(rows: np.ndarray, nvalid: np.ndarray):
+    """Pick per-lane mode + per-block widths + lane byte sizes.
+
+    rows: [L, S] int32 (values past nvalid are ignored); nvalid: [L].
+    Returns (modes u8 [L], widths u8 [L, NB], lane_bytes i64 [L]).
+    """
+    from .. import native
+
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    L, S = rows.shape
+    nblk = nblocks(S)
+    nvalid = np.ascontiguousarray(nvalid, dtype=np.int64)
+    out = native.blockpack_analyze(rows, nvalid, nblk)
+    if out is not None:
+        return out
+    # numpy fallback
+    valid = np.arange(S)[None, :] < nvalid[:, None]
+    v = np.where(valid, rows, 0).astype(np.int32)
+    pad = nblk * BLK - S
+    if pad:
+        v = np.pad(v, ((0, 0), (0, pad)))
+        valid = np.pad(valid, ((0, 0), (0, pad)))
+    d1 = v.copy()
+    d1[:, 1:] -= v[:, :-1]
+    d2 = d1.copy()
+    d2[:, 1:] -= d1[:, :-1]
+    d1 = np.where(valid, d1, 0)
+    d2 = np.where(valid, d2, 0)
+    cands = [_np_widths(_np_zigzag(x), nblk) for x in (v, d1, d2)]
+    sizes = np.stack([32 * c.astype(np.int64).sum(axis=1) for c in cands])
+    modes = sizes.argmin(axis=0).astype(np.uint8)
+    widths = np.choose(modes[:, None], cands)
+    return modes, widths, sizes[modes, np.arange(L)]
+
+
+def pack_host(rows: np.ndarray, nvalid: np.ndarray):
+    """Analyze + pack on the host (upload direction).
+
+    Returns (buf u8 [total+PAD_BYTES], modes u8 [L], widths u8 [L, NB],
+    lane_off i64 [L]).
+    """
+    from .. import native
+
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    L, S = rows.shape
+    nblk = nblocks(S)
+    nvalid = np.ascontiguousarray(nvalid, dtype=np.int64)
+    modes, widths, lane_bytes = analyze_host(rows, nvalid)
+    lane_off = np.zeros(L, np.int64)
+    np.cumsum(lane_bytes[:-1], out=lane_off[1:])
+    total = int(lane_off[-1] + lane_bytes[-1]) if L else 0
+    buf = np.zeros(total + PAD_BYTES, np.uint8)
+    if not native.blockpack_pack(rows, nvalid, nblk, modes, widths, lane_off, buf):
+        _np_pack_into(rows, nvalid, modes, widths, lane_off, buf)
+    return buf, modes, widths, lane_off
+
+
+def _np_pack_into(rows, nvalid, modes, widths, lane_off, buf):
+    """Vectorized numpy packer (fallback; also the pack oracle in tests)."""
+    L, S = rows.shape
+    nblk = widths.shape[1]
+    valid = np.arange(S)[None, :] < nvalid[:, None]
+    v = np.where(valid, rows, 0).astype(np.int32)
+    pad = nblk * BLK - S
+    if pad:
+        v = np.pad(v, ((0, 0), (0, pad)))
+    d1 = v.copy()
+    d1[:, 1:] -= v[:, :-1]
+    d2 = d1.copy()
+    d2[:, 1:] -= d1[:, :-1]
+    t = np.where(
+        (modes == 2)[:, None], d2, np.where((modes == 1)[:, None], d1, v)
+    )
+    if pad:
+        vmask = np.pad(valid, ((0, 0), (0, pad)))
+        t = np.where(vmask, t, 0)
+    z = _np_zigzag(t).astype(np.uint64)
+    w = widths.astype(np.int64)  # [L, NB]
+    wj = np.repeat(w, BLK, axis=1)  # width of each code [L, NB*BLK]
+    jj = np.tile(np.arange(BLK, dtype=np.int64), nblk)[None, :]
+    blk_bytes = 32 * w
+    boff = lane_off[:, None] + np.concatenate(
+        [np.zeros((L, 1), np.int64), np.cumsum(blk_bytes[:, :-1], axis=1)], axis=1
+    )
+    bit = np.repeat(boff, BLK, axis=1) * 8 + jj * wj
+    live = wj > 0
+    # scatter-or byte pieces: each code spans <= 5 bytes
+    byte = (bit >> 3)[live]
+    sh = (bit & 7)[live].astype(np.uint64)
+    val = z[live] << sh
+    for piece in range(5):
+        np.bitwise_or.at(
+            buf, byte + piece,
+            ((val >> np.uint64(8 * piece)) & np.uint64(0xFF)).astype(np.uint8),
+        )
+
+
+def unpack_host(buf, modes, widths, lane_off, nvalid, S: int) -> np.ndarray:
+    """Inverse of the device pack (download direction) -> [L, S] int32."""
+    from .. import native
+
+    L, nblk = widths.shape
+    nvalid = np.ascontiguousarray(nvalid, dtype=np.int64)
+    out = native.blockpack_unpack(
+        np.ascontiguousarray(buf, np.uint8),
+        np.ascontiguousarray(lane_off, np.int64),
+        np.ascontiguousarray(modes, np.uint8),
+        np.ascontiguousarray(widths, np.uint8),
+        nvalid, S,
+    )
+    if out is not None:
+        return out
+    # numpy fallback: gather each code's 8-byte little-endian window.
+    buf = np.ascontiguousarray(buf, np.uint8)
+    need = int(lane_off[-1]) + 32 * int(widths[-1].astype(np.int64).sum()) + 8 if L else 8
+    if len(buf) < need:
+        buf = np.concatenate([buf, np.zeros(need - len(buf), np.uint8)])
+    w = widths.astype(np.int64)
+    blk_bytes = 32 * w
+    boff = np.asarray(lane_off)[:, None] + np.concatenate(
+        [np.zeros((L, 1), np.int64), np.cumsum(blk_bytes[:, :-1], axis=1)], axis=1
+    )
+    nb_used = nblocks(S)
+    wj = np.repeat(w[:, :nb_used], BLK, axis=1)[:, :S]
+    jj = np.tile(np.arange(BLK, dtype=np.int64), nb_used)[None, :S]
+    bit = np.repeat(boff[:, :nb_used], BLK, axis=1)[:, :S] * 8 + jj * wj
+    byte = bit >> 3
+    sh = (bit & 7).astype(np.uint64)
+    win = np.zeros((L, S), np.uint64)
+    for piece in range(8):
+        win |= buf[byte + piece].astype(np.uint64) << np.uint64(8 * piece)
+    mask = np.where(wj >= 32, np.uint64(0xFFFFFFFF), (np.uint64(1) << wj.astype(np.uint64)) - np.uint64(1))
+    z = ((win >> sh) & mask).astype(np.uint32)
+    v = ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).view(np.int32).reshape(L, S)
+    c1 = np.cumsum(v, axis=1, dtype=np.int32)
+    c2 = np.cumsum(c1, axis=1, dtype=np.int32)
+    out = np.where((modes == 2)[:, None], c2, np.where((modes == 1)[:, None], c1, v))
+    return np.where(np.arange(S)[None, :] < nvalid[:, None], out, 0)
+
+
+# ---------------------------------------------------------------------------
+# Device half (traced jnp — call inside jit).
+# ---------------------------------------------------------------------------
+
+
+def _le32_windows(buf):
+    """[B] u8 -> little-endian u32 windows at every byte offset."""
+    b = buf.astype(jnp.uint32)
+    return (
+        b
+        | jnp.roll(b, -1) << 8
+        | jnp.roll(b, -2) << 16
+        | jnp.roll(b, -3) << 24
+    )  # rolls wrap into PAD_BYTES zeros for in-range reads
+
+
+def _exclusive_cumsum(x, axis):
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
+    """Device inverse of pack_host -> [L, S] int32 (zeros past nvalid).
+
+    buf: [B] u8 (>= total + PAD_BYTES); widths: [L, NB] u8 (NB covers S);
+    modes: [L]; lane_off: [L] byte offsets; nvalid: [L]. Scan-free.
+    """
+    L, NB = widths.shape
+    le32 = _le32_windows(buf)
+    w = widths.astype(jnp.int32)
+    blk_bytes = 32 * w
+    boff = lane_off.astype(jnp.int32)[:, None] + _exclusive_cumsum(blk_bytes, 1)
+
+    j = jnp.arange(S, dtype=jnp.int32)
+    b = j // BLK
+    jj = j % BLK
+    wj = w[:, b]  # [L, S]
+    bit = jj[None, :] * wj
+    byte = boff[:, b] + (bit >> 3)
+    sh = (bit & 7).astype(jnp.uint32)
+
+    lo = le32[byte] >> sh
+    hi = jnp.where(sh > 0, le32[byte + 4] << (jnp.uint32(32) - sh), jnp.uint32(0))
+    wu = jnp.minimum(wj, 31).astype(jnp.uint32)
+    mask = jnp.where(
+        wj >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << wu) - jnp.uint32(1)
+    )
+    z = (lo | hi) & mask
+    v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
+    c1 = jnp.cumsum(v, axis=1, dtype=jnp.int32)
+    c2 = jnp.cumsum(c1, axis=1, dtype=jnp.int32)
+    out = jnp.where(
+        (modes == 2)[:, None], c2, jnp.where((modes == 1)[:, None], c1, v)
+    )
+    valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
+    return jnp.where(valid, out, 0)
+
+
+def _device_widths(z, NB):
+    """Per-block widths of [L, NB*BLK] uint32 codes -> [L, NB] int32.
+
+    clz on the int32 bit pattern: a set top bit gives clz 0 -> width 32."""
+    m = z.reshape(z.shape[0], NB, BLK).max(axis=2)
+    return jnp.where(m == 0, 0, 32 - jax.lax.clz(m.astype(jnp.int32)))
+
+
+def pack_rows(rows, nvalid):
+    """Device pack (download direction): [L, S] int32 -> packed words.
+
+    Returns (words u32 [NW] — view as LE bytes on the host, modes i32 [L],
+    widths i32 [L, NB], lane_bytes i32 [L]). Host inverse: unpack_host.
+    Scan-free: widths via block max + clz, placement via cumsum, two
+    scatter-adds (bit-disjoint, so add == or).
+    """
+    L, S = rows.shape
+    NB = nblocks(S)
+    Spad = NB * BLK
+    j = jnp.arange(Spad, dtype=jnp.int32)
+    valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
+    vpad = rows if Spad == S else jnp.pad(rows, ((0, 0), (0, Spad - S)))
+    v = jnp.where(valid, vpad, 0).astype(jnp.int32)
+    d1 = v - jnp.pad(v, ((0, 0), (1, 0)))[:, :Spad]
+    d2 = d1 - jnp.pad(d1, ((0, 0), (1, 0)))[:, :Spad]
+    d1 = jnp.where(valid, d1, 0)
+    d2 = jnp.where(valid, d2, 0)
+
+    def zig(x):
+        return ((x << 1) ^ (x >> 31)).astype(jnp.uint32)
+
+    z0, z1, z2 = zig(v), zig(d1), zig(d2)
+    w0, w1, w2 = (_device_widths(z, NB) for z in (z0, z1, z2))
+    s0, s1, s2 = (32 * w.sum(axis=1) for w in (w0, w1, w2))
+    modes = jnp.where((s2 < s1) & (s2 < s0), 2, jnp.where(s1 < s0, 1, 0))
+    m1 = (modes == 1)[:, None]
+    m2 = (modes == 2)[:, None]
+    w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
+    z = jnp.where(m2, z2, jnp.where(m1, z1, z0))
+
+    blk_bytes = 32 * w
+    lane_bytes = blk_bytes.sum(axis=1)
+    lane_off = _exclusive_cumsum(lane_bytes, 0)
+    boff = lane_off[:, None] + _exclusive_cumsum(blk_bytes, 1)
+
+    b = j // BLK
+    jj = j % BLK
+    wj = w[:, b]
+    bitpos = (boff[:, b] << 3) + jj[None, :] * wj  # absolute bit position
+    word = bitpos >> 5
+    sh = (bitpos & 31).astype(jnp.uint32)
+    live = wj > 0
+    zlive = jnp.where(live, z, 0)
+    lo = zlive << sh
+    hi = jnp.where(sh > 0, zlive >> (jnp.uint32(32) - sh), jnp.uint32(0))
+    # Dead codes scatter OUT OF BOUNDS (mode="drop" discards them; a negative
+    # index would wrap and corrupt real words).
+    NW = L * Spad + 2  # worst case: every block at w=32
+    word = jnp.where(live, word, NW)
+    words = jnp.zeros(NW, jnp.uint32)
+    words = words.at[word.reshape(-1)].add(lo.reshape(-1), mode="drop")
+    words = words.at[(word + 1).reshape(-1)].add(hi.reshape(-1), mode="drop")
+    return words, modes, w, lane_bytes

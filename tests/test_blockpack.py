@@ -1,0 +1,153 @@
+"""Fixed-width block-pack wire transport: exact round trips in both
+directions, C++ vs numpy fallback equality, and adversarial content (the
+spiky lanes that defeat per-lane Rice escape hatches)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flo_tpu import native
+from flo_tpu.ops import blockpack
+
+
+def _lanes(seed=0, L=11, S=1900):
+    rng = np.random.default_rng(seed)
+    rows = np.zeros((L, S), np.int32)
+    nvalid = np.zeros(L, np.int64)
+    for l in range(L):
+        n = int(rng.integers(1, S + 1))
+        nvalid[l] = n
+        kind = l % 6
+        if kind == 0:  # smooth tone -> delta wins
+            rows[l, :n] = (20000 * np.sin(np.arange(n) * 0.013)).astype(np.int32)
+        elif kind == 1:  # full-range noise
+            rows[l, :n] = rng.integers(-32768, 32768, n)
+        elif kind == 2:  # tone + noise
+            rows[l, :n] = (3000 * np.sin(np.arange(n) * 0.4)).astype(
+                np.int32
+            ) + rng.integers(-40, 40, n)
+        elif kind == 3:  # quiet with HUGE transient spikes (tile joints)
+            rows[l, :n] = rng.integers(-8, 8, n)
+            rows[l, : n : max(n // 7, 1)] = rng.integers(-(1 << 28), 1 << 28)
+        elif kind == 4:  # int32 extremes
+            rows[l, :n] = np.where(
+                np.arange(n) % 2 == 0, np.int32(-(2**31)), np.int32(2**31 - 1)
+            )
+        # kind 5: silence
+    return rows, nvalid
+
+
+def _upload_roundtrip(rows, nvalid):
+    L, S = rows.shape
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+    fn = jax.jit(blockpack.unpack_rows, static_argnames=("S",))
+    out = np.asarray(
+        fn(
+            jnp.asarray(buf), jnp.asarray(modes.astype(np.int32)),
+            jnp.asarray(widths), jnp.asarray(lane_off.astype(np.int32)),
+            jnp.asarray(nvalid.astype(np.int32)), S,
+        )
+    )
+    return out, buf, modes, widths, lane_off
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_host_pack_device_unpack_exact(seed):
+    rows, nvalid = _lanes(seed)
+    out, buf, modes, widths, lane_off = _upload_roundtrip(rows, nvalid)
+    want = np.where(np.arange(rows.shape[1])[None, :] < nvalid[:, None], rows, 0)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_host_pack_host_unpack_exact():
+    rows, nvalid = _lanes(3)
+    L, S = rows.shape
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+    out = blockpack.unpack_host(buf, modes, widths, lane_off, nvalid, S)
+    want = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_device_pack_host_unpack_exact():
+    rows, nvalid = _lanes(4, L=9, S=1500)
+    L, S = rows.shape
+    fn = jax.jit(blockpack.pack_rows)
+    words, modes, widths, lane_bytes = fn(
+        jnp.asarray(rows), jnp.asarray(nvalid.astype(np.int32))
+    )
+    lane_bytes = np.asarray(lane_bytes).astype(np.int64)
+    lane_off = np.zeros(L, np.int64)
+    np.cumsum(lane_bytes[:-1], out=lane_off[1:])
+    total = int(lane_off[-1] + lane_bytes[-1])
+    buf = np.asarray(words).view("<u4").view(np.uint8)[: total + blockpack.PAD_BYTES]
+    buf = np.concatenate([buf, np.zeros(blockpack.PAD_BYTES, np.uint8)])
+    out = blockpack.unpack_host(
+        buf, np.asarray(modes).astype(np.uint8), np.asarray(widths).astype(np.uint8),
+        lane_off, nvalid, S,
+    )
+    want = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_device_and_host_pack_agree():
+    """Device pack and host pack produce IDENTICAL streams (same format,
+    same mode/width decisions up to equal-size ties)."""
+    rows, nvalid = _lanes(5, L=6, S=1024)
+    buf_h, modes_h, widths_h, lane_off_h = blockpack.pack_host(rows, nvalid)
+    words, modes_d, widths_d, lane_bytes_d = jax.jit(blockpack.pack_rows)(
+        jnp.asarray(rows), jnp.asarray(nvalid.astype(np.int32))
+    )
+    np.testing.assert_array_equal(np.asarray(widths_d), widths_h.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(modes_d), modes_h.astype(np.int32))
+    lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+    total = int(lane_bytes.sum())
+    buf_d = np.asarray(words).view("<u4").view(np.uint8)[:total]
+    np.testing.assert_array_equal(buf_d, buf_h[:total])
+
+
+def test_numpy_fallback_matches_cpp():
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rows, nvalid = _lanes(6, L=8, S=700)
+    L, S = rows.shape
+    nblk = blockpack.nblocks(S)
+    got = native.blockpack_analyze(
+        np.ascontiguousarray(rows), np.ascontiguousarray(nvalid), nblk
+    )
+    assert got is not None
+    modes_c, widths_c, bytes_c = got
+    # force the numpy path by calling the private fallbacks directly
+    valid = np.arange(S)[None, :] < nvalid[:, None]
+    buf_c, modes2, widths2, lane_off = blockpack.pack_host(rows, nvalid)
+    buf_np = np.zeros_like(buf_c)
+    blockpack._np_pack_into(
+        np.where(valid, rows, 0).astype(np.int32), nvalid, modes2, widths2,
+        lane_off, buf_np,
+    )
+    np.testing.assert_array_equal(buf_np, buf_c)
+    out_np = blockpack.unpack_host.__wrapped__(  # type: ignore[attr-defined]
+        buf_c, modes2, widths2, lane_off, nvalid, S
+    ) if hasattr(blockpack.unpack_host, "__wrapped__") else None
+    if out_np is not None:
+        np.testing.assert_array_equal(
+            out_np, np.where(valid, rows, 0)
+        )
+
+
+def test_silence_packs_to_zero_bytes():
+    rows = np.zeros((3, 512), np.int32)
+    nvalid = np.full(3, 512, np.int64)
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+    assert len(buf) == blockpack.PAD_BYTES
+    assert (widths == 0).all()
+    out = blockpack.unpack_host(buf, modes, widths, lane_off, nvalid, 512)
+    np.testing.assert_array_equal(out, 0)
+
+
+def test_empty_batch():
+    rows = np.zeros((0, 256), np.int32)
+    nvalid = np.zeros(0, np.int64)
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+    assert len(buf) == blockpack.PAD_BYTES

@@ -39,8 +39,12 @@ def main():
     from flo_tpu.lossy import decoder as lod, encoder as loe
     from flo_tpu.lossy.presets import QUALITY_U8_TO_F32
 
+    from bench import corpus_like_clips
+
     print("platform:", jax.devices()[0].platform, flush=True)
-    clips = [make_audio(WORKLOAD_SECONDS, RATE, seed=42 + i) for i in range(BATCH_FILES)]
+    clips = corpus_like_clips(BATCH_FILES, WORKLOAD_SECONDS)
+    if clips is None:
+        clips = [make_audio(WORKLOAD_SECONDS, RATE, seed=42 + i) for i in range(BATCH_FILES)]
     q = QUALITY_U8_TO_F32[1]
 
     def timed(label, fn):
@@ -50,12 +54,12 @@ def main():
         print(f"  {label:35s} {dt*1e3:9.1f} ms", flush=True)
         return out
 
-    # Warmup everything once.
+    # Warmup everything once (bench transports: rice16 / packed both ways).
     t0 = time.time()
     d_ll = lle.encode_many(clips, RATE, CHANNELS, 16, 5)
     lld.decode_many([_reader.read(d) for d in d_ll])
-    d_lo = loe.encode_many(clips, RATE, CHANNELS, q, transport_dtype=np.float16)
-    lod.decode_many([_reader.read(d) for d in d_lo], transport_dtype=np.int16)
+    d_lo = loe.encode_many(clips, RATE, CHANNELS, q, transport_dtype="rice16")
+    lod.decode_many([_reader.read(d) for d in d_lo])
     print(f"warmup: {time.time()-t0:.1f} s", flush=True)
 
     for it in range(2):
@@ -65,10 +69,10 @@ def main():
         files = timed("reader parse", lambda: [_reader.read(d) for d in d_ll])
         h = timed("lossless dec dispatch", lambda: lld.decode_many_async(files))
         timed("lossless dec collect", h.result)
-        h = timed("lossy enc dispatch", lambda: loe.encode_many_async(clips, RATE, CHANNELS, q, transport_dtype=np.float16))
+        h = timed("lossy enc dispatch", lambda: loe.encode_many_async(clips, RATE, CHANNELS, q, transport_dtype="rice16"))
         d_lo = timed("lossy enc collect", h.result)
         files = timed("reader parse (lossy)", lambda: [_reader.read(d) for d in d_lo])
-        h = timed("lossy dec dispatch", lambda: lod.decode_many_async(files, transport_dtype=np.int16))
+        h = timed("lossy dec dispatch", lambda: lod.decode_many_async(files))
         timed("lossy dec collect", h.result)
 
     # Raw wire probes for context.
