@@ -148,10 +148,10 @@ def main() -> None:
         # either collects, and each decode dispatches as soon as its encode's
         # bytes exist — the duplex wire carries uploads and downloads of
         # different pipelines concurrently. Every transport is entropy-coded:
-        # rice16 uploads, packed-blob decode uploads, packed PCM downloads.
+        # block-packed uploads and downloads, sparse lossy coefficients.
         h_ll = lle.encode_many_async(material, RATE, CHANNELS, 16, 5)
         h_lo = loe.encode_many_async(
-            material, RATE, CHANNELS, q_med, transport_dtype="rice16"
+            material, RATE, CHANNELS, q_med, transport_dtype="packed"
         )
         d_ll = h_ll.result()
         h_lld = lld.decode_many_async([_reader.read(d) for d in d_ll])
@@ -210,7 +210,7 @@ def main() -> None:
         run_cfg(
             f"lossy_q{preset}",
             lambda m, qq=q: loe.encode_many(
-                m, RATE, CHANNELS, qq, transport_dtype="rice16"
+                m, RATE, CHANNELS, qq, transport_dtype="packed"
             ),
             lambda ds: lod.decode_many([_reader.read(d) for d in ds]),
             bclips,

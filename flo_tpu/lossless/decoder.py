@@ -1,22 +1,24 @@
-"""Lossless decoder: container -> device Rice unpack -> batched device scan.
+"""Lossless decoder: C++ Rice parse -> block-packed wire -> batched device scan.
 
 Pipeline (mirrors the behavior of lossless/decoder.rs:21-273, redesigned
 batch-first):
 
 1. Classify every (frame, channel) into a *lane* with uniform parameters
-   (packed residual blob, Rice k, 12 coefficient taps, shift, warm-up order,
-   fixed flag) so a single universal program handles LPC/fixed/raw/silence.
-2. The bulk path uploads the container's PACKED residual blobs verbatim
-   (entropy-coded size — the wire is the bottleneck, not compute) and
-   entropy-decodes them ON DEVICE (ops/riceunpack: Rice lanes via a
-   leading-ones scan, raw-PCM lanes as fixed-width LE16 codes).
-3. One jitted lax.scan over [lanes, samples] reconstructs everything at
-   once; mid/side undo, f32 conversion, and the entropy-packed PCM DOWNLOAD
-   transport (ops/wirecodec) are fused into the same jit.
-4. Host trims per-frame tails and interleaves. Lanes the device unpacker
-   cannot decode (Rice quotient > 47, or a truncated blob that must
-   zero-fill like the reference BitReader) are flagged and re-decoded
-   exactly on the host (rare: corrupt or adversarial streams only).
+   (residual row, 12 coefficient taps, shift, warm-up order, fixed flag) so a
+   single universal program handles LPC/fixed/raw/silence.
+2. The container's Rice streams are parsed on the host by the C++ batch
+   decoder (native/rice.cpp) — exact under ANY quotient or truncation, the
+   reference's zero-fill semantics, so no escape paths exist anywhere.
+3. Residual lanes cross the wire block-packed (ops/blockpack — compressed
+   size, scan-free device unpack); one jitted lax.scan over [lanes, samples]
+   reconstructs everything at once; mid/side undo and the block-packed PCM
+   DOWNLOAD transport are fused into the same jit.
+4. Host C++ unpacks the download, trims per-frame tails, and interleaves.
+   (An earlier iteration decoded the container's Rice blobs ON device via a
+   leading-ones scan; measured on real hardware the 44100-step scan plus the
+   per-lane big-quotient escapes cost far more than the C++ parse — one
+   transient per frame is enough to overflow any fixed device window, since
+   rice.rs:29-69 legally emits 271-bit codes.)
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ import numpy as np
 from ..container import reader
 from ..core import rice_host
 from ..futures import BulkFuture
-from ..ops import ricepack, riceunpack, wirecodec
+from ..ops import blockpack
 from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
     FrameType,
@@ -138,80 +140,6 @@ def _device_decode(rows, coeffs, shifts, orders, is_fixed, mid_side, channels: i
     return jnp.transpose(f32, (0, 2, 1))
 
 
-def _marshal_blobs(flo: FloFile):
-    """Per-lane tables for the packed-upload decode path: the container's
-    residual blobs verbatim plus the decode parameters.
-
-    Returns (blobs list[bytes], k [L], codes_n [L] — entropy codes the device
-    must read, is_raw [L], coeffs [L,12], shifts [L], orders [L],
-    is_fixed [L], mid_side [F], S, frame_lengths [F]); None if no lossless
-    frames. Lane order is frame-major, channel-minor.
-    """
-    channels = flo.header.channels
-    frames = [f for f in flo.frames if not FrameType.from_byte(f.frame_type).is_transform]
-    F = len(frames)
-    if F == 0:
-        return None
-    S = max(f.frame_samples for f in frames)
-    L = F * channels
-
-    blobs: list[bytes] = [b""] * L
-    k = np.zeros(L, np.int32)
-    codes_n = np.zeros(L, np.int32)
-    is_raw = np.zeros(L, bool)
-    coeffs = np.zeros((L, lpc.MAX_ORDER), dtype=np.int32)
-    shifts = np.zeros(L, dtype=np.int32)
-    orders = np.zeros(L, dtype=np.int32)
-    is_fixed = np.zeros(L, dtype=bool)
-    mid_side = np.zeros(F, dtype=bool)
-    frame_lengths = np.zeros(F, dtype=np.int64)
-
-    for fi, frame in enumerate(frames):
-        n = frame.frame_samples
-        frame_lengths[fi] = n
-        mid_side[fi] = channels == 2 and bool(frame.flags & 0x01)
-        for ci in range(channels):
-            lane = fi * channels + ci
-            ch = frame.channels[ci] if ci < len(frame.channels) else None
-            if ch is None:
-                continue
-            has_coeffs = len(ch.predictor_coeffs) > 0
-            has_residuals = len(ch.residuals) > 0
-            # Classification order mirrors decoder.rs:92-148.
-            if not has_coeffs and has_residuals and ch.shift_bits >= FIXED_PREDICTOR_MARKER:
-                order = ch.shift_bits - FIXED_PREDICTOR_MARKER
-                blobs[lane] = ch.residuals
-                k[lane] = ch.rice_parameter
-                codes_n[lane] = n
-                if order <= 4:
-                    is_fixed[lane] = True
-                    orders[lane] = order
-                    coeffs[lane, :] = lpc._FIXED_COEFFS[order]
-                # order > 4: unknown fixed order -> samples = residuals
-                # verbatim (decoder.rs:261-264): zero coeffs, order 0.
-            elif has_coeffs:
-                order = len(ch.predictor_coeffs)
-                blobs[lane] = ch.residuals
-                k[lane] = ch.rice_parameter
-                codes_n[lane] = n
-                coeffs[lane, :order] = np.asarray(
-                    ch.predictor_coeffs, dtype=np.int64
-                ).astype(np.int32)
-                shifts[lane] = min(int(ch.shift_bits), 15)
-                orders[lane] = order
-            elif has_residuals:
-                # Raw i16 PCM (decoder.rs:132-144); whole i16 pairs only.
-                # codes_n counts the pairs actually present (short payloads
-                # leave the tail zero, matching the reference).
-                blobs[lane] = ch.residuals[: (len(ch.residuals) // 2) * 2]
-                is_raw[lane] = True
-                codes_n[lane] = min(len(blobs[lane]) // 2, n)
-            # else: silence -> zeros already.
-
-    return (blobs, k, codes_n, is_raw, coeffs, shifts, orders, is_fixed,
-            mid_side, S, frame_lengths)
-
-
 def _bucket_bytes(n: int, floor: int = 1 << 20) -> int:
     """Upload-buffer bucket: {1, 1.5} x 2^k growth bounds both the zero
     padding (<= 33%) and the number of distinct compiled shapes."""
@@ -232,19 +160,14 @@ def decode(data: bytes) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("channels", "S"))
-def _decode_blobs_packed(buf, bit_start, k, codes_n, is_raw, coeffs, shifts,
-                         orders, is_fixed, mid_side, lane_nvalid,
-                         channels: int, S: int):
-    """Fully-packed decode step: the container's entropy-coded residual
-    blobs in (ops/riceunpack — Rice + raw-LE16 lanes in one buffer),
-    ENTROPY-PACKED true-L/R samples out (ops/wirecodec — the decoded PCM is
-    the pipeline's largest download). Both wire directions carry
-    compressed-size payloads. Returns the download transport plus the
-    device-resident i32 PCM lanes (overflow refetch) and the unpacker's
-    (end_bit, bad) lane flags for the host's exact-fallback check."""
-    rows, end_bit, bad = riceunpack.unpack_lanes(
-        buf, bit_start, k, codes_n, S, is_raw
-    )
+def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
+                     orders, is_fixed, mid_side, lane_nvalid,
+                     channels: int, S: int):
+    """Block-packed decode step: residual lanes in (ops/blockpack upload,
+    scan-free gather/shift/mask unpack), block-packed true-L/R samples out.
+    Both wire directions carry compressed-size payloads; the only sequential
+    device work left is the reconstruction recurrence itself."""
+    rows = blockpack.unpack_rows(buf, up_modes, up_widths, up_off, lane_nvalid, S)
     samples = lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed)
     fcs = samples.reshape(-1, channels, S)
     if channels == 2:
@@ -254,22 +177,19 @@ def _decode_blobs_packed(buf, bit_start, k, codes_n, is_raw, coeffs, shifts,
         ms = mid_side[:, None]
         fcs = jnp.stack([jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1)
     lanes = fcs.reshape(-1, S)
-    packed, lane_bytes, lane_off, mode, wk, overflow = wirecodec.pack_pcm(
-        lanes, lane_nvalid
-    )
-    return packed, lane_bytes, lane_off, mode, wk, overflow, lanes, end_bit, bad
+    return blockpack.pack_rows(lanes, lane_nvalid)
 
 
 def decode_many_async(flos: list[FloFile]) -> BulkFuture:
     """Bulk decode: every file's lanes in one reconstruction scan per channel
-    count. Both wire directions are entropy-coded: the container's packed
-    residual blobs upload verbatim and decode on device (ops/riceunpack),
-    the reconstructed PCM downloads entropy-packed (ops/wirecodec). All
-    device work is dispatched before this returns."""
+    count. The container's Rice streams are parsed by the C++ host decoder
+    (exact under ANY quotient or truncation — the reference's zero-fill
+    semantics, rice.rs:128-131 — so no per-lane escape paths exist); both
+    wire directions then carry block-packed compressed-size payloads
+    (ops/blockpack). All device work is dispatched before this returns."""
     from ..core.convert import i32_to_f32_np
-    from ..ops.select import gather_rows
 
-    marshaled = [(_marshal_blobs(f), f.header.channels) for f in flos]
+    marshaled = [(_marshal_lanes(f), f.header.channels) for f in flos]
     outs: list[np.ndarray] = [np.zeros(0, dtype=np.float32)] * len(flos)
     by_channels: dict[int, list] = {}
     for i, (m, c) in enumerate(marshaled):
@@ -278,12 +198,9 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
 
     collectors = []
     for channels, group in by_channels.items():
-        S_max = max(m[9] for _, m in group)
-        L_tot = sum(len(m[0]) for _, m in group)
-        blobs: list[bytes] = []
-        k = np.zeros(L_tot, np.int32)
-        codes_n = np.zeros(L_tot, np.int32)
-        is_raw = np.zeros(L_tot, bool)
+        S_max = max(m[6] for _, m in group)
+        L_tot = sum(m[0].shape[0] for _, m in group)
+        rows = np.zeros((L_tot, S_max), dtype=np.int32)
         coeffs = np.zeros((L_tot, lpc.MAX_ORDER), np.int32)
         shifts = np.zeros(L_tot, np.int32)
         orders = np.zeros(L_tot, np.int32)
@@ -291,145 +208,70 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
         mid_side_all = []
         off = 0
         for _, m in group:
-            ln = len(m[0])
-            blobs.extend(m[0])
-            k[off : off + ln] = m[1]
-            codes_n[off : off + ln] = m[2]
-            is_raw[off : off + ln] = m[3]
-            coeffs[off : off + ln] = m[4]
-            shifts[off : off + ln] = m[5]
-            orders[off : off + ln] = m[6]
-            is_fixed[off : off + ln] = m[7]
-            mid_side_all.append(m[8])
-            off += ln
+            r = m[0]
+            rows[off : off + r.shape[0], : r.shape[1]] = r
+            coeffs[off : off + r.shape[0]] = m[1]
+            shifts[off : off + r.shape[0]] = m[2]
+            orders[off : off + r.shape[0]] = m[3]
+            is_fixed[off : off + r.shape[0]] = m[4]
+            mid_side_all.append(m[5])
+            off += r.shape[0]
         mid_side = np.concatenate(mid_side_all)
-        frame_lengths_all = np.concatenate([m[10] for _, m in group]).astype(np.int32)
+        frame_lengths_all = np.concatenate([m[7] for _, m in group]).astype(np.int32)
         lane_nvalid = np.repeat(frame_lengths_all, channels)
 
-        # Double-buffer over two frame sub-batches: chunk B's upload overlaps
-        # chunk A's compute + download. More chunks when the packed payload
-        # would exceed the per-call byte cap (keeps bit offsets in int32 and
-        # bounds device buffers).
+        # Double-buffer over two frame sub-batches: chunk B's host pack +
+        # upload overlap chunk A's device compute + download.
         F_tot = L_tot // channels
-        n_chunks = 2 if F_tot >= 4 else 1
-        total_bytes = sum(len(b) for b in blobs)
-        n_chunks = max(n_chunks, -(-total_bytes // (192 << 20)))
-        f_half = -(-F_tot // n_chunks)
+        f_half = F_tot // 2 if F_tot >= 4 else F_tot
 
         def dispatch(flo_f, fhi_f):
             lo, hi = flo_f * channels, fhi_f * channels
-            sub_blobs = blobs[lo:hi]
-            sizes = np.fromiter((len(b) for b in sub_blobs), np.int64, hi - lo)
-            offs = np.zeros(hi - lo, np.int64)
-            np.cumsum(sizes[:-1], out=offs[1:])
-            total = int(offs[-1] + sizes[-1]) if hi > lo else 0
-            nb = _bucket_bytes(total + riceunpack.PAD_BYTES)
-            buf = np.zeros(nb, np.uint8)
-            if total:
-                buf[:total] = np.frombuffer(b"".join(sub_blobs), np.uint8)
-            handle = _decode_blobs_packed(
-                jnp.asarray(buf), jnp.asarray((offs * 8).astype(np.int32)),
-                jnp.asarray(k[lo:hi]), jnp.asarray(codes_n[lo:hi]),
-                jnp.asarray(is_raw[lo:hi]),
+            buf, up_modes, up_widths, up_off = blockpack.pack_host(
+                rows[lo:hi], lane_nvalid[lo:hi].astype(np.int64)
+            )
+            nb = _bucket_bytes(len(buf))
+            if nb != len(buf):
+                buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
+            handle = _decode_lanes_bp(
+                jnp.asarray(buf), jnp.asarray(up_modes.astype(np.int32)),
+                jnp.asarray(up_widths), jnp.asarray(up_off.astype(np.int32)),
                 jnp.asarray(coeffs[lo:hi]), jnp.asarray(shifts[lo:hi]),
                 jnp.asarray(orders[lo:hi]), jnp.asarray(is_fixed[lo:hi]),
                 jnp.asarray(mid_side[flo_f:fhi_f]),
                 jnp.asarray(lane_nvalid[lo:hi]), channels, S_max,
             )
-            blob_end_bits = ((offs + sizes) * 8).astype(np.int64)
-            return handle, lo, blob_end_bits
+            return handle, lo, hi
 
         handles = []
         for flo_f in range(0, F_tot, f_half):
             fhi_f = min(flo_f + f_half, F_tot)
             handles.append(dispatch(flo_f, fhi_f))
 
-        # NB: every group-level name the deferred closures touch is bound via
+        # NB: group-level names the deferred closure touches are bound via
         # default args — the loop rebinds them for the next channel group
         # before collect() runs.
-        def patch_frames(part, bad_lanes, lo, channels, *, blobs=blobs, k=k,
-                         codes_n=codes_n, is_raw=is_raw, coeffs=coeffs,
-                         shifts=shifts, orders=orders, is_fixed=is_fixed,
-                         mid_side=mid_side, lane_nvalid=lane_nvalid,
-                         S_max=S_max):
-            """Exact host re-decode of the frames owning flagged lanes
-            (reference zero-fill / big-quotient semantics)."""
-            frames_to_fix = np.unique(bad_lanes // channels)
-            lanes_fix = (frames_to_fix[:, None] * channels
-                         + np.arange(channels)[None, :]).reshape(-1)
-            g = lanes_fix + lo  # global lane ids
-            rows_fix = rice_host.decode_batch(
-                [blobs[i] if not is_raw[i] else b"" for i in g],
-                k[g], np.where(is_raw[g], 0, codes_n[g]), S_max,
-            )
-            for j, gi in enumerate(g):  # raw lanes: verbatim LE16
-                if is_raw[gi] and codes_n[gi]:
-                    rows_fix[j, : codes_n[gi]] = np.frombuffer(
-                        blobs[gi], "<i2"
-                    )[: codes_n[gi]].astype(np.int32)
-            from .. import native
-
-            if native.lpc_reconstruct_into(
-                rows_fix, coeffs[g], shifts[g], orders[g], is_fixed[g],
-                np.full(len(g), S_max, np.int64),
-            ):
-                rec = rows_fix
-            else:
-                rec = lpc.reconstruct_host(
-                    rows_fix, coeffs[g], shifts[g], orders[g], is_fixed[g]
-                )
-            fcs = rec.reshape(-1, channels, S_max).astype(np.int64)
-            if channels == 2:
-                ms = mid_side[(g[::2] // channels)][:, None]
-                m_, s_ = fcs[:, 0], fcs[:, 1]
-                t = m_ + s_
-                left = np.where(ms, t // 2 + ((t < 0) & (t % 2 != 0)), m_)
-                t = m_ - s_
-                right = np.where(ms, t // 2 + ((t < 0) & (t % 2 != 0)), s_)
-                fcs = np.stack([left, right], axis=1)
-            flat = fcs.reshape(-1, S_max).astype(np.int32)
-            nv = lane_nvalid[g]
-            msk = np.arange(S_max)[None, :] < nv[:, None]
-            part[lanes_fix] = np.where(msk, flat, 0)
-
         def collect(handles=handles, group=group, channels=channels,
-                    lane_nvalid=lane_nvalid, S_max=S_max,
-                    patch_frames=patch_frames):
+                    lane_nvalid=lane_nvalid, S_max=S_max):
             chunks = []
-            for (packed_d, lb_d, lo_d, mode_d, wk_d, ovf_d, lanes_dev,
-                 endbit_d, bad_d), lo, blob_end_bits in handles:
-                lb = np.asarray(lb_d).astype(np.int64)
-                lof = np.asarray(lo_d).astype(np.int64)
-                mode = np.asarray(mode_d)
-                wk = np.asarray(wk_d)
-                nsub = len(lb)
-                nv = lane_nvalid[lo : lo + nsub]
-                total = int(lof[-1] + lb[-1]) if nsub else 0
-                packed = ricepack.fetch_prefix(packed_d, total)
-                part = wirecodec.unpack_pcm(packed, lb, lof, mode, wk, nv, S_max)
-                ovf = np.flatnonzero(np.asarray(ovf_d))
-                if len(ovf):
-                    padb = 1 << max(len(ovf) - 1, 0).bit_length()
-                    idx_p = np.zeros(padb, np.int32)
-                    idx_p[: len(ovf)] = ovf
-                    part[ovf] = np.asarray(gather_rows(lanes_dev, jnp.asarray(idx_p)))[
-                        : len(ovf)
-                    ]
-                # Host fallback for lanes the device unpacker can't decode
-                # exactly: big quotients or blob overrun (zero-fill).
-                bad_lanes = np.flatnonzero(
-                    np.asarray(bad_d)
-                    | (np.asarray(endbit_d).astype(np.int64) > blob_end_bits)
+            for (words_d, modes_d, widths_d, bytes_d), lo, hi in handles:
+                dn_bytes = np.asarray(bytes_d).astype(np.int64)
+                dn_off = np.zeros(len(dn_bytes), np.int64)
+                np.cumsum(dn_bytes[:-1], out=dn_off[1:])
+                total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
+                packed = blockpack.fetch_packed(words_d, total)
+                part = blockpack.unpack_host(
+                    packed, np.asarray(modes_d).astype(np.uint8),
+                    np.asarray(widths_d).astype(np.uint8), dn_off,
+                    lane_nvalid[lo:hi].astype(np.int64), S_max,
                 )
-                if len(bad_lanes):
-                    patch_frames(part, bad_lanes, lo, channels)
                 chunks.append(part.reshape(-1, channels, S_max))
             fcs_all = np.concatenate(chunks)  # [F_tot, C, S_max]
 
             foff = 0
             for i, m in group:
-                n_frames = len(m[0]) // channels
-                S, frame_lengths = m[9], m[10]
+                n_frames = m[0].shape[0] // channels
+                S, frame_lengths = m[6], m[7]
                 fcs = fcs_all[foff : foff + n_frames, :, :S]
                 foff += n_frames
                 parts = [fcs[j, :, : frame_lengths[j]].T for j in range(n_frames)]

@@ -242,21 +242,21 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
     ints = fsc  # [F', S, C]
 
     if analysis == "device":
-        # Entropy-packed PCM upload (ops/wirecodec.pack_pcm_host): the input
-        # crosses the wire at compressed size; the device unpacks + runs the
-        # whole analysis + search (encode_select_packed).
-        from ..ops import riceunpack, wirecodec
+        # Block-packed PCM upload (ops/blockpack): the input crosses the wire
+        # at compressed size; the device unpacks scan-free + runs the whole
+        # analysis + search (encode_select_packed).
+        from ..ops import blockpack
         from .decoder import _bucket_bytes
 
         lanes_pcm = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).reshape(-1, spf)
         nv_lane = np.repeat(frame_samples, C).astype(np.int64)
-        buf, bit_start, k_up, mode_up = wirecodec.pack_pcm_host(lanes_pcm, nv_lane)
+        buf, modes_up, widths_up, lane_off_up = blockpack.pack_host(lanes_pcm, nv_lane)
         nb = _bucket_bytes(len(buf))
         if nb != len(buf):
             buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
         device_out = encode_select_packed(
-            jnp.asarray(buf), jnp.asarray(bit_start), jnp.asarray(k_up),
-            jnp.asarray(mode_up.astype(np.int32)),
+            jnp.asarray(buf), jnp.asarray(modes_up.astype(np.int32)),
+            jnp.asarray(widths_up), jnp.asarray(lane_off_up.astype(np.int32)),
             jnp.asarray(frame_samples.astype(np.int32)),
             tuple(kinds), tuple(cand_orders), C, spf,
         )

@@ -102,12 +102,12 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
 def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
                           sample_rate: int, n: int):
-    """Sparse upload AND entropy-packed download: the host ships 4 bytes per
+    """Sparse upload AND block-packed download: the host ships 4 bytes per
     nonzero coefficient (ops/compact.py), the dense [N, T, C, n2] grid is
     rebuilt ON DEVICE, dequantized/IMDCT'd, quantized to the i16 output
-    domain, and the PCM leaves the device entropy-coded (ops/wirecodec —
-    decoded PCM is the largest download on the slow-down axon link)."""
-    from ..ops import wirecodec
+    domain, and the PCM leaves the device block-packed (ops/blockpack —
+    compressed size, one-pass C++ host unpack)."""
+    from ..ops import blockpack
 
     N, T, C = sf.shape[:3]
     n2 = n // 2
@@ -116,7 +116,7 @@ def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
     s = _decode_blocks(q, sf, sample_rate, n)  # [N, T, n2, C]
     i16 = jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int32)
     rows = jnp.moveaxis(i16, -1, -2).reshape(N * T * C, n2)
-    return wirecodec.pack_pcm(rows, lane_nvalid)
+    return blockpack.pack_rows(rows, lane_nvalid)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -235,18 +235,21 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
         )
 
     def fin() -> list[np.ndarray]:
-        from ..ops import ricepack, wirecodec
+        from ..ops import blockpack
 
         outs = [None] * N
         for lo, hi, nv, h in handles:
-            packed_d, lb_d, lo_d, mode_d, wk_d, _ovf = h
-            lb = np.asarray(lb_d).astype(np.int64)
-            lof = np.asarray(lo_d).astype(np.int64)
-            total = int(lof[-1] + lb[-1]) if len(lb) else 0
-            packed = ricepack.fetch_prefix(packed_d, total)
-            rows = wirecodec.unpack_pcm(
-                packed, lb, lof, np.asarray(mode_d), np.asarray(wk_d), nv, n2
-            )  # [(hi-lo)*T*C, n2]; overflow impossible: values clipped to i16
+            words_d, modes_d, widths_d, bytes_d = h
+            dn_bytes = np.asarray(bytes_d).astype(np.int64)
+            dn_off = np.zeros(len(dn_bytes), np.int64)
+            np.cumsum(dn_bytes[:-1], out=dn_off[1:])
+            total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
+            packed = blockpack.fetch_packed(words_d, total)
+            rows = blockpack.unpack_host(
+                packed, np.asarray(modes_d).astype(np.uint8),
+                np.asarray(widths_d).astype(np.uint8), dn_off,
+                nv.astype(np.int64), n2,
+            )  # [(hi-lo)*T*C, n2]
             segs = np.moveaxis(rows.reshape(hi - lo, t_max, C, n2), 2, 3)
             segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
             for i in range(lo, hi):

@@ -97,55 +97,38 @@ def _encode_padded_compact(padded, sample_rate: int, thr):
     return entries, row_nnz, sf
 
 
-#: Pseudo-lane width for the packed upload: the unpack scan's step count.
-#: Real lanes are millions of samples wide; segmenting keeps the scan short
-#: and lane-parallel (the TPU-friendly shape).
-TRANSPORT_SEG = 1 << 15
+@partial(jax.jit, static_argnames=("sample_rate", "W"))
+def _encode_packed_compact(buf, modes, widths, lane_off, nvalid,
+                           sample_rate: int, thr, W: int):
+    """_encode_padded_compact fed by a block-packed i16 PCM upload
+    (ops/blockpack): the input crosses the wire at compressed size and the
+    device recovers the [L, W] signal scan-free (gather/shift/mask)."""
+    from ..ops import blockpack
 
-
-@partial(jax.jit, static_argnames=("sample_rate", "L", "W", "seg"))
-def _encode_packed_compact(buf, bit_start, k, mode, seg_nvalid,
-                           sample_rate: int, thr, L: int, W: int, seg: int):
-    """_encode_padded_compact fed by an entropy-packed i16 PCM upload
-    (ops/wirecodec.pack_pcm_host over [L*nseg, seg] segmented lanes): the
-    input crosses the wire at compressed size; the device unpacks,
-    reassembles the [L, W] padded signal, and runs the same MDCT pipeline.
-    """
-    from ..ops import wirecodec
-
-    rows = wirecodec.unpack_pcm_device(buf, bit_start, k, mode, seg_nvalid, seg)
-    padded = rows.reshape(L, -1)[:, :W].astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W)
+    padded = rows.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
     return _encode_padded_compact(padded, sample_rate, thr)
 
 
 def _dispatch_packed(stacked_f32, used, sample_rate: int, thr):
-    """Host side of the rice16 transport: quantize the [Lc, W] f32 signal to
-    i16 (round; <= 1.5e-5 — below every preset's codec noise), entropy-pack
-    segmented lanes, dispatch the packed program."""
+    """Host side of the packed transport: quantize the [Lc, W] f32 signal to
+    i16 (round; <= 1.5e-5 — below every preset's codec noise), block-pack
+    (one C++ pass), dispatch the packed program."""
     from ..lossless.decoder import _bucket_bytes
-    from ..ops import wirecodec
+    from ..ops import blockpack
 
     Lc, W = stacked_f32.shape
-    seg = TRANSPORT_SEG
-    nseg = -(-W // seg)
-    rows = np.zeros((Lc, nseg * seg), np.int32)
-    rows[:, :W] = np.clip(
-        np.round(stacked_f32.astype(np.float64) * 32767.0), -32768, 32767
+    rows = np.clip(
+        np.rint(stacked_f32 * np.float32(32767.0)), -32768, 32767
     ).astype(np.int32)
-    seg_nvalid = np.clip(
-        used[:, None] - np.arange(nseg, dtype=np.int64)[None, :] * seg, 0, seg
-    ).reshape(-1)
-    buf, bit_start, k, mode = wirecodec.pack_pcm_host(
-        rows.reshape(Lc * nseg, seg), seg_nvalid
-    )
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, used)
     nb = _bucket_bytes(len(buf))
     if nb != len(buf):
         buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
     return _encode_packed_compact(
-        jnp.asarray(buf), jnp.asarray(bit_start), jnp.asarray(k),
-        jnp.asarray(mode.astype(np.int32)),
-        jnp.asarray(seg_nvalid.astype(np.int32)),
-        int(sample_rate), thr, Lc, W, seg,
+        jnp.asarray(buf), jnp.asarray(modes.astype(np.int32)),
+        jnp.asarray(widths), jnp.asarray(lane_off.astype(np.int32)),
+        jnp.asarray(used.astype(np.int32)), int(sample_rate), thr, W,
     )
 
 
@@ -209,11 +192,12 @@ def encode_many_to_frames_async(
 
     transport_dtype=np.float16 halves the upload; the MDCT input is then
     f16-quantized (~1e-4), inside the lossy tolerance at every preset.
-    transport_dtype="rice16" entropy-packs the upload (i16-rounded,
-    ~1.5e-5): compressed-size wire bytes — the bulk default's best choice
-    on bandwidth-starved links."""
+    transport_dtype="packed" block-packs the upload (i16-rounded,
+    ~1.5e-5 quantization; ops/blockpack): compressed-size wire bytes at one
+    C++ host pass — the right choice on bandwidth-starved links. The legacy
+    alias "rice16" is accepted."""
     C = int(channels)
-    packed_wire = isinstance(transport_dtype, str) and transport_dtype == "rice16"
+    packed_wire = isinstance(transport_dtype, str) and transport_dtype in ("packed", "rice16")
     per_file = [_file_padded(s, C) for s in samples_list]
     t_max = max((nh for _, nh in per_file), default=0)
     if t_max == 0:

@@ -210,6 +210,19 @@ def unpack_host(buf, modes, widths, lane_off, nvalid, S: int) -> np.ndarray:
     return np.where(np.arange(S)[None, :] < nvalid[:, None], out, 0)
 
 
+def fetch_packed(words_dev, total_bytes: int) -> np.ndarray:
+    """Download the first total_bytes of a device u32 word buffer (the
+    pack_rows output) as bytes, with PAD_BYTES of trailing zeros appended."""
+    from .ricepack import fetch_prefix  # bucketed dynamic-slice download
+
+    if total_bytes <= 0:
+        return np.zeros(PAD_BYTES, np.uint8)
+    nwords = -(-total_bytes // 4)
+    w = fetch_prefix(words_dev, nwords)  # element-count semantics
+    b = np.ascontiguousarray(w).view(np.uint8)[:total_bytes]
+    return np.concatenate([b, np.zeros(PAD_BYTES, np.uint8)])
+
+
 # ---------------------------------------------------------------------------
 # Device half (traced jnp — call inside jit).
 # ---------------------------------------------------------------------------

@@ -82,9 +82,9 @@ def reconstruct_host(residuals, coeffs, shifts, orders, is_fixed) -> np.ndarray:
     """Exact numpy mirror of :func:`reconstruct` (i64 MAC + arithmetic shift,
     int32 wrap — the reference's release-mode semantics, decoder.rs:92-273).
 
-    Used as the host fallback for the rare lanes the device bitstream
-    unpacker flags (q > riceunpack.MAX_Q or blob overrun) and as a test
-    oracle. Vectorized across lanes; sequential over samples.
+    Test oracle and the pure-Python fallback behind the C++ reconstruction
+    (native.lpc_reconstruct_into) when no toolchain is available.
+    Vectorized across lanes; sequential over samples.
     """
     residuals = np.asarray(residuals, np.int32)
     L, S = residuals.shape

@@ -34,13 +34,17 @@ indices only per-CODE (two scatters), never per-bit:
 4. Bits fold 8->1 into bytes via strided slices (no [N, 8] reshape: a minor
    axis of 8 would be tile-padded 16x on TPU and OOM).
 
-Lanes containing a code longer than 32 bits (quotient + 1 + k > 32; only
-when the Rice estimate is badly mismatched, e.g. one huge spike) are
-reported in ``bad``: their region holds garbage and hosts re-pack them
-exactly (core/rice_host.encode) from a gather-fetch of the residual rows.
-Word-aligned lane offsets guarantee a bad lane never corrupts a neighbour.
-Selection's exact per-lane byte size already accounts for capped quotients,
-so the buffer layout stands regardless.
+Codes longer than 32 bits (quotient + 1 + k > 32) are format-legal and
+COMMON on real content — one transient per 1 s frame is enough (rice.rs
+caps the unary run at 255, so codes reach 271 bits). The spread writes such
+a code's first 32 bits; its tail bits land as zeros and neighbours stay
+intact, so a compacted patch pass (jnp.nonzero with a static cap, then
+<= 31 byte-wise scatter-ADDs per long code) fills the tails additively.
+Only if a chunk somehow exceeds ``MAX_LONG_CODES`` long codes (adversarial
+input) are the affected lanes reported in ``bad`` for exact host re-packing
+(core/rice_host.encode). Word-aligned lane offsets guarantee a bad lane
+never corrupts a neighbour; selection's exact per-lane byte size already
+accounts for capped quotients, so the buffer layout stands regardless.
 
 The bit-domain buffer is the static worst case of 16 bits per sample (the
 raw baseline bound: selection never keeps a candidate larger than raw) plus
@@ -58,6 +62,9 @@ import numpy as np
 
 #: Worst-case packed bits per sample (raw baseline bound).
 WORST_BITS_PER_SAMPLE = 16
+
+#: Static cap on >32-bit codes per pack call (compacted tail-patch pass).
+MAX_LONG_CODES = 8192
 
 #: Hard cap so every bit index fits int32 (with word-align slack).
 MAX_BATCH_SAMPLES = (1 << 30) // WORST_BITS_PER_SAMPLE - 1
@@ -97,14 +104,20 @@ def pack_lanes(residuals, k, nvalid, is_raw):
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid[:, None]
     clen = jnp.where(is_raw[:, None], 16, q + 1 + kcol)
     clen = jnp.where(valid, clen, 0)
-    bad = jnp.any(valid & ~is_raw[:, None] & (clen > 32), axis=1)
+    is_long = valid & ~is_raw[:, None] & (clen > 32)
+    n_long = jnp.sum(is_long)
+    # Lanes are only unreliable if the compacted patch pass overflowed.
+    bad = jnp.any(is_long, axis=1) & (n_long > MAX_LONG_CODES)
 
     # Per-code pattern, MSB-aligned: q ones, a zero, k remainder bits — or
     # the raw LE16 bit pattern (low byte first, MSB-first within bytes).
+    # Long codes emit their FIRST 32 bits here; tails are patched below.
     q32 = jnp.minimum(q, 31).astype(jnp.uint32)
     ones = jnp.where(q >= 32, jnp.uint32(0xFFFFFFFF), ~(jnp.uint32(0xFFFFFFFF) >> q32))
     rem = jnp.where(ku > 0, u_rice << (jnp.uint32(32) - ku), jnp.uint32(0))
-    pat_rice = ones | (rem >> jnp.minimum(q32 + 1, 31))
+    # The remainder only reaches the first word when it starts before bit 32
+    # (q + terminator < 32); for q >= 31 the first word is ones + terminator.
+    pat_rice = ones | jnp.where(q < 31, rem >> jnp.minimum(q32 + 1, 31), jnp.uint32(0))
     pat_raw = ((u_raw & jnp.uint32(0x00FF)) << 24) | ((u_raw & jnp.uint32(0xFF00)) << 8)
     pattern = jnp.where(is_raw[:, None], pat_raw, pat_rice)
     pattern = jnp.where(valid, pattern, jnp.uint32(0))  # padding emits 0 bits
@@ -148,8 +161,41 @@ def pack_lanes(residuals, k, nvalid, is_raw):
     byte = jnp.zeros((NB // 1024, 128), jnp.int32)
     for j in range(8):
         byte = byte + (b2[:, j::8] << (7 - j))
+    byte = byte.reshape(-1)
+
+    # Compacted tail patch for >32-bit codes: their bits [32, clen) are zeros
+    # in the spread (and neighbours intact), so the missing bytes ADD in.
+    NBYTES = NB // 8
+    flat_long = is_long.reshape(-1)
+    idx = jnp.nonzero(flat_long, size=MAX_LONG_CODES, fill_value=L * S)[0]
+    live_c = jnp.arange(MAX_LONG_CODES) < jnp.minimum(n_long, MAX_LONG_CODES)
+    p_c = starts[jnp.minimum(idx, L * S - 1)]
+    q_c = q.reshape(-1)[jnp.minimum(idx, L * S - 1)]
+    clen_c = clen.reshape(-1)[jnp.minimum(idx, L * S - 1)]
+    u_c = u_rice.reshape(-1)[jnp.minimum(idx, L * S - 1)]
+
+    def code_bit(o):
+        """Bit of the Rice code at offset o (int32 [MAX_LONG_CODES])."""
+        rem_bit = (u_c >> jnp.clip(clen_c - 1 - o, 0, 31).astype(jnp.uint32)) & 1
+        return jnp.where(
+            o < q_c, 1, jnp.where(o == q_c, 0, rem_bit.astype(jnp.int32))
+        )
+
+    first_tail_byte = (p_c + 32) >> 3
+    patch = byte
+    for t in range(31):  # tails span <= (271 - 32 + 7 + 7) / 8 = 31 bytes
+        bt = first_tail_byte + t
+        contrib = jnp.zeros_like(p_c)
+        for s in range(8):
+            o = bt * 8 + s - p_c
+            hit = (o >= 32) & (o < clen_c)
+            contrib = contrib + jnp.where(hit, code_bit(o) << (7 - s), 0)
+        tgt = jnp.where(live_c & (contrib != 0), bt, NBYTES)
+        patch = patch.at[tgt].add(contrib, mode="drop")
+    byte = patch
+
     return (
-        byte.reshape(-1).astype(jnp.uint8),
+        byte.astype(jnp.uint8),
         lane_bytes.astype(jnp.int32),
         lane_off.astype(jnp.int32),
         bad,

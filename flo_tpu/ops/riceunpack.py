@@ -1,5 +1,11 @@
 """Device-side Rice bitstream unpacking: entropy decoding on the TPU.
 
+STATUS: kept as a tested alternate path; the production bulk decode moved to
+host C++ Rice parse + ops/blockpack wire transport after profiling on real
+hardware — the 44100-step unpack scan cost ~0.9 s per chunk and the q > 47
+escape below fired on nearly every lane of real content (one transient per
+1 s frame is enough, since rice.rs legally emits 271-bit codes).
+
 The mirror of ops/ricepack.py for the decode direction: the host uploads the
 container's packed residual blobs (entropy-coded size) instead of unpacked
 i16 residual tensors, and the device recovers the residual rows that feed

@@ -242,18 +242,18 @@ def encode_select_device(pcm16, nvalid_f, kinds: tuple, cand_orders: tuple):
 
 
 @partial(jax.jit, static_argnames=("kinds", "cand_orders", "C", "S"))
-def encode_select_packed(buf, bit_start, k_up, mode_up, nvalid_f,
+def encode_select_packed(buf, modes, widths, lane_off, nvalid_f,
                          kinds: tuple, cand_orders: tuple, C: int, S: int):
-    """encode_select_device fed by an entropy-packed PCM UPLOAD: the host
-    ships ops/wirecodec.pack_pcm_host's buffer (compressed size) instead of
-    an i16 tensor, and the device recovers the [F, C, S] PCM lanes with
-    ops/riceunpack + prefix sums before running the same candidate search.
+    """encode_select_device fed by a block-packed PCM UPLOAD: the host ships
+    ops/blockpack.pack_host's buffer (compressed size) instead of an i16
+    tensor, and the device recovers the [F, C, S] PCM lanes scan-free
+    (ops/blockpack.unpack_rows) before running the same candidate search.
     """
-    from .wirecodec import unpack_pcm_device
+    from .blockpack import unpack_rows
 
     F = nvalid_f.shape[0]
     nv_lane = jnp.repeat(nvalid_f.astype(jnp.int32), C)
-    pcm = unpack_pcm_device(buf, bit_start, k_up, mode_up, nv_lane, S)
+    pcm = unpack_rows(buf, modes, widths, lane_off, nv_lane, S)
     return _select_device_core(pcm.reshape(F, C, S), nvalid_f, kinds, cand_orders)
 
 

@@ -1,4 +1,11 @@
-"""Lossless device->host transport compression for decoded PCM.
+"""Rice/delta transport for decoded PCM (ALTERNATE PATH — see ops/blockpack).
+
+STATUS: kept as a tested alternate wire codec; the production bulk pipelines
+moved to ops/blockpack after profiling on real hardware showed this module's
+host side too numpy-heavy for the single-core host (the Rice candidate
+search cost more CPU than the wire bytes it saved) and its per-lane escape
+hatches firing on every lane of real content (one transient per 1 s frame
+exceeds any fixed device quotient window).
 
 The axon TPU link is brutally asymmetric (measured ~400 MB/s up with
 transparent compression, ~30 MB/s down and prone to stalls), so the decode

@@ -24,6 +24,19 @@ try:
 except Exception:
     pass  # older jax: XLA_FLAGS fallback above
 
+# Persistent compilation cache (keyed by platform, shared with bench.py's
+# TPU cache dir): repeat suite runs skip XLA CPU compiles, which both cuts
+# minutes of wall time and avoids a rare XLA CPU compiler segfault observed
+# under long single-process runs.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import pathlib
 
 import pytest
@@ -37,3 +50,18 @@ def examples_dir():
     if not EXAMPLES_DIR.is_dir():
         pytest.skip("reference Examples corpus not available")
     return EXAMPLES_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_xla_executable_accumulation():
+    """Clear jit caches between test modules.
+
+    A single pytest process compiles ~300 XLA CPU programs; past ~200 the
+    XLA CPU compiler has been observed to crash (SIGSEGV in compile /
+    SIGABRT in cache serialization). Dropping live executables per module
+    bounds that accumulation; the persistent compilation cache makes any
+    recompile a cheap deserialization."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

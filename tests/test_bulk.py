@@ -99,13 +99,13 @@ class TestBulkLossy:
             snr = 10 * np.log10((s[:m] ** 2).sum() / max(((out[:m] - s[:m]) ** 2).sum(), 1e-30))
             assert snr > 25
 
-    def test_rice16_upload_transport(self, files):
-        """The entropy-packed upload (transport_dtype='rice16') matches the
-        f32 transport in size and fidelity (i16 rounding is ~two orders
-        below codec noise at every preset)."""
+    def test_packed_upload_transport(self, files):
+        """The block-packed upload (transport_dtype='packed'; 'rice16' is a
+        legacy alias) matches the f32 transport in size and fidelity (i16
+        rounding is ~two orders below codec noise at every preset)."""
         rate, fs = files
         a = loe.encode_many(fs, rate, 2, 0.35)
-        b = loe.encode_many(fs, rate, 2, 0.35, transport_dtype="rice16")
+        b = loe.encode_many(fs, rate, 2, 0.35, transport_dtype="packed")
         for s, da, db in zip(fs, a, b):
             assert abs(len(da) - len(db)) <= 0.02 * len(da)
             oa, ob = lod.decode(da), lod.decode(db)

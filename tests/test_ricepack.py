@@ -62,10 +62,9 @@ def test_pack_lanes_matches_host_packer(seed):
     assert not bad[np.arange(L) % 4 != 3].any()
 
 
-def test_pack_lanes_flags_long_codes():
-    """Codes with q+1+k > 32 bits flag the lane for host re-packing; the
-    byte SIZE still matches the host packer so the layout stands, and
-    neighbouring lanes stay byte-exact."""
+def test_pack_lanes_long_codes_pack_exactly():
+    """Codes with q+1+k > 32 bits (format-legal up to 271 bits) pack
+    byte-identically via the compacted tail-patch pass; no lane flags."""
     S = 64
     rows = np.zeros((3, S), np.int32)
     rows[0] = np.arange(S) - 30
@@ -74,11 +73,10 @@ def test_pack_lanes_flags_long_codes():
     ks = np.array([5, 0, 4], np.int32)
     nvalid = np.full(3, S, np.int32)
     packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, np.zeros(3, bool))
-    assert list(bad) == [False, True, False]
-    for l in (0, 2):
+    assert not bad.any()
+    for l in range(3):
         got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
         assert got == rice_host.encode(rows[l], int(ks[l])), f"lane {l}"
-    assert lane_bytes[1] == len(rice_host.encode(rows[1], 0))
 
 
 def test_pack_lanes_layout_overflow_flags_lanes():
@@ -122,14 +120,11 @@ def test_pack_lanes_edge_lanes():
     nvalid = np.array([8, 1, 8, 8], np.int32)
     is_raw = np.array([False, False, False, True])
     packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, is_raw)
+    assert not bad.any()  # lane 2's capped-q 258-bit code packs via the patch
     for l in range(4):
-        if bad[l]:
-            continue
         got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
         want = _expected_blob(rows[l], ks[l], nvalid[l], is_raw[l])
         assert got == want, f"lane {l}"
-    # lane 2 has a 32767 value at k=2 -> q capped at 255 -> flagged
-    assert bad[2] and not bad[0] and not bad[1] and not bad[3]
 
 
 def test_fetch_prefix_roundtrip():
@@ -139,3 +134,31 @@ def test_fetch_prefix_roundtrip():
     got = ricepack.fetch_prefix(arr, 123)
     assert got.tolist() == list(range(123))
     assert ricepack.fetch_prefix(arr, 0).size == 0
+
+
+def test_pack_lanes_long_codes():
+    """Codes longer than 32 bits (big quotients — one spike per frame on
+    real content) pack byte-identically via the compacted tail-patch pass;
+    no lane is flagged bad."""
+    rng = np.random.default_rng(9)
+    L, S = 6, 400
+    rows = np.zeros((L, S), np.int32)
+    ks = np.zeros(L, np.int32)
+    nvalid = np.full(L, S, np.int32)
+    is_raw = np.zeros(L, bool)
+    for l in range(L):
+        rows[l] = rng.integers(-30, 30, S)
+        # spikes at several positions, including lane start/end and
+        # adjacent long codes
+        spots = [0, 7, 8, S // 2, S - 1]
+        for i, p in enumerate(spots):
+            rows[l, p] = int((1 << (17 + l)) * (1 if i % 2 == 0 else -1))
+        # the estimator's k keeps q <= 255 but spikes still yield >32-bit
+        # codes (the capped-q escape codes, up to 256+k bits)
+        ks[l] = rice_host.estimate_parameter(rows[l])
+    packed, lane_bytes, lane_off, bad = _pack_np(rows, ks, nvalid, is_raw)
+    assert not bad.any()
+    for l in range(L):
+        want = _expected_blob(rows[l], ks[l], nvalid[l], False)
+        got = packed[lane_off[l] : lane_off[l] + lane_bytes[l]].tobytes()
+        assert got == want, f"lane {l} k={ks[l]}"
