@@ -252,16 +252,46 @@ def main() -> None:
     ).reshape(-1, 2, RATE)
     pcm_dev = jax.device_put(pcm_f)
     nv_dev = jax.device_put(np.full(pcm_f.shape[0], RATE, np.int32))
-    jax.block_until_ready(encode_select_device(pcm_dev, nv_dev, kinds, orders))
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = encode_select_device(pcm_dev, nv_dev, kinds, orders)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+
+    def _force(out):
+        # block_until_ready is a no-op through the axon tunnel; a 4-byte
+        # download is the only reliable execution barrier.
+        return np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+
+    def _time_device(fn, reps=3):
+        _force(fn())
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn()
+            _force(out)
+        return (time.time() - t0) / reps
+
+    dt = _time_device(lambda: encode_select_device(pcm_dev, nv_dev, kinds, orders))
     configs["device_kernels"] = {
         "value": round(BATCH_FILES * BREADTH_SECONDS / dt, 1),
         "note": "lossless candidate search + device Rice pack, device-resident I/O",
+    }
+
+    # Decode-side device kernels: block-packed residual unpack + the Pallas
+    # LPC reconstruction (ops/pallas_lpc) + block-packed PCM re-pack.
+    from flo_tpu.ops import lpc as _lpc
+
+    res_dev = jax.device_put(
+        np.clip(np.diff(pcm_f[:, 0], prepend=0), -30000, 30000)
+        .astype(np.int32)
+        .reshape(-1, RATE)
+    )
+    coeffs_d = jax.device_put(
+        np.tile(np.array([[2, -1] + [0] * 10], np.int32), (pcm_f.shape[0], 1))
+    )
+    z_d = jax.device_put(np.zeros(pcm_f.shape[0], np.int32))
+    two_d = jax.device_put(np.full(pcm_f.shape[0], 2, np.int32))
+    fx_d = jax.device_put(np.ones(pcm_f.shape[0], bool))
+    recon = jax.jit(_lpc.reconstruct_best)
+    dt = _time_device(lambda: recon(res_dev, coeffs_d, z_d, two_d, fx_d))
+    configs["device_reconstruct"] = {
+        "value": round(BATCH_FILES * BREADTH_SECONDS / dt, 1),
+        "note": "Pallas LPC reconstruction scan, device-resident I/O",
     }
 
     # Streaming decode (host state machine, frame-at-a-time).

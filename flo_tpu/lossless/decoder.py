@@ -168,7 +168,7 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
     Both wire directions carry compressed-size payloads; the only sequential
     device work left is the reconstruction recurrence itself."""
     rows = blockpack.unpack_rows(buf, up_modes, up_widths, up_off, lane_nvalid, S)
-    samples = lpc.reconstruct(rows, coeffs, shifts, orders, is_fixed)
+    samples = lpc.reconstruct_best(rows, coeffs, shifts, orders, is_fixed)
     fcs = samples.reshape(-1, channels, S)
     if channels == 2:
         m, s = fcs[:, 0], fcs[:, 1]

@@ -78,6 +78,19 @@ def reconstruct(residuals, coeffs, shifts, orders, is_fixed, unroll: int = 8):
     return out.T
 
 
+def reconstruct_best(residuals, coeffs, shifts, orders, is_fixed):
+    """Backend-best reconstruction: the Pallas kernel on TPU (2.45x the
+    lax.scan, measured bit-identical — ops/pallas_lpc.py), the scan
+    elsewhere. Traced-time choice; call inside jit."""
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from .pallas_lpc import reconstruct_pallas
+
+        return reconstruct_pallas(residuals, coeffs, shifts, orders, is_fixed)
+    return reconstruct(residuals, coeffs, shifts, orders, is_fixed)
+
+
 def reconstruct_host(residuals, coeffs, shifts, orders, is_fixed) -> np.ndarray:
     """Exact numpy mirror of :func:`reconstruct` (i64 MAC + arithmetic shift,
     int32 wrap — the reference's release-mode semantics, decoder.rs:92-273).
