@@ -221,7 +221,10 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
         lane_nvalid = np.repeat(frame_lengths_all, channels)
 
         # Double-buffer over two frame sub-batches: chunk B's host pack +
-        # upload overlap chunk A's device compute + download.
+        # upload overlap chunk A's device compute + download. (4 chunks was
+        # A/B-tested on the tunnel: it helps serial single-pipeline calls
+        # but costs ~25% on the cross-pipeline-overlapped bulk pass — the
+        # extra round trips contend with the other pipelines' transfers.)
         F_tot = L_tot // channels
         f_half = F_tot // 2 if F_tot >= 4 else F_tot
 
