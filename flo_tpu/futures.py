@@ -21,6 +21,20 @@ from typing import Callable, Generic, TypeVar
 T = TypeVar("T")
 
 
+def start_host_copy(*arrays) -> None:
+    """Begin device->host DMA for each array without blocking.
+
+    Called at dispatch time on small per-chunk outputs (sizes, widths,
+    modes) and at collect time on the next chunk's payload prefix, so
+    downloads overlap the current chunk's host finalization. No-op where
+    the backend lacks copy_to_host_async."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+
+
 class BulkFuture(Generic[T]):
     """Deferred collection of an already-dispatched bulk operation."""
 

@@ -31,7 +31,7 @@ import numpy as np
 
 from ..container import reader
 from ..core import rice_host
-from ..futures import BulkFuture
+from ..futures import BulkFuture, start_host_copy
 from ..ops import blockpack
 from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
@@ -244,6 +244,9 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
                 jnp.asarray(mid_side[flo_f:fhi_f]),
                 jnp.asarray(lane_nvalid[lo:hi]), channels, S_max,
             )
+            # Small outputs start their host copy now (ready when compute
+            # ends); the payload prefix starts in collect's first phase.
+            start_host_copy(handle[1], handle[2], handle[3])
             return handle, lo, hi
 
         handles = []
@@ -256,13 +259,19 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
         # before collect() runs.
         def collect(handles=handles, group=group, channels=channels,
                     lane_nvalid=lane_nvalid, S_max=S_max):
-            chunks = []
+            # Phase 1: start every chunk's payload download (async) so later
+            # chunks' bytes stream while earlier chunks host-unpack.
+            started = []
             for (words_d, modes_d, widths_d, bytes_d), lo, hi in handles:
                 dn_bytes = np.asarray(bytes_d).astype(np.int64)
                 dn_off = np.zeros(len(dn_bytes), np.int64)
                 np.cumsum(dn_bytes[:-1], out=dn_off[1:])
                 total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
-                packed = blockpack.fetch_packed(words_d, total)
+                h = blockpack.fetch_packed_start(words_d, total)
+                started.append((h, total, dn_off, modes_d, widths_d, lo, hi))
+            chunks = []
+            for h, total, dn_off, modes_d, widths_d, lo, hi in started:
+                packed = blockpack.fetch_packed_finish(h, total)
                 part = blockpack.unpack_host(
                     packed, np.asarray(modes_d).astype(np.uint8),
                     np.asarray(widths_d).astype(np.uint8), dn_off,

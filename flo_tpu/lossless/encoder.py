@@ -169,6 +169,10 @@ def encode_many_to_frames_async(
     states = _dispatch_active_frames(fsc_batch, nvalid_f, C, kinds, cand_orders, analysis)
 
     def fin() -> List[List[Frame]]:
+        # Phase 1: async-start every chunk's payload download so later
+        # chunks' bytes stream while earlier chunks assemble frames.
+        for st in states:
+            _start_chunk_fetch(st)
         frames_out: List[Frame] = []
         for st in states:
             frames_out.extend(
@@ -260,6 +264,11 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
             jnp.asarray(frame_samples.astype(np.int32)),
             tuple(kinds), tuple(cand_orders), C, spf,
         )
+        # Start host copies for the small outputs (everything but the packed
+        # payload buffer [3] and the residual rows [7]).
+        from ..futures import start_host_copy
+
+        start_host_copy(*(device_out[i] for i in (0, 1, 2, 4, 5, 6, 8, 9, 10)))
         return {
             "device_out": device_out[:10],
             "mid_side_dev": device_out[10],
@@ -326,6 +335,9 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
         jnp.asarray(cand_ok),
         is_lpc,
     )
+    from ..futures import start_host_copy
+
+    start_host_copy(*(device_out[i] for i in (0, 1, 2, 4, 5, 6, 8, 9)))
     return {
         "device_out": device_out,
         "mid_side_dev": None,
@@ -337,10 +349,24 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
     }
 
 
+def _start_chunk_fetch(st) -> None:
+    """Async-start a chunk's payload-prefix download (the collect fin's
+    phase 1); _collect_chunk finishes it. Idempotent."""
+    if "prefetch" in st:
+        return
+    (_, _, _, packed_dev, lane_bytes_d, lane_off_d, *_rest) = st["device_out"]
+    lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+    lane_off = np.asarray(lane_off_d).astype(np.int64)
+    total = int(lane_off[-1] + lane_bytes[-1]) if st["L"] else 0
+    st["prefetch"] = (
+        ricepack.fetch_prefix_start(packed_dev, total), total, lane_bytes, lane_off,
+    )
+
+
 def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
     """Block on one sub-batch's results; slice the device-packed wire
     payloads and assemble its frames (host entropy coding only for the rare
-    `bad` lanes — >32-bit codes the device packer cannot express).
+    `bad` lanes — >32-bit codes past the tail-patch capacity).
 
     compat="reference-bugs" reproduces the reference encoder BYTE-FOR-BYTE,
     including its Raw-frame defect (encoder.rs:104-119 + writer.rs:266-268):
@@ -358,14 +384,13 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
 
     sel = np.asarray(sel_d)
     ks = np.asarray(k_d)
-    lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+    _start_chunk_fetch(st)
+    prefix_h, total, lane_bytes, lane_off = st["prefetch"]
     # The packer's byte counts are computed independently of selection's exact
     # sizes; equality is a cheap end-to-end check of the device bit packing.
     if not np.array_equal(lane_bytes, np.asarray(size_d).astype(np.int64)):
         raise AssertionError("device Rice packing size mismatch")
-    lane_off = np.asarray(lane_off_d).astype(np.int64)
-    total = int(lane_off[-1] + lane_bytes[-1]) if L else 0
-    pb = ricepack.fetch_prefix(packed_dev, total).tobytes()
+    pb = ricepack.fetch_prefix_finish(prefix_h, total).tobytes()
 
     # Exact host re-pack of flagged lanes (q+1+k > 32 somewhere; possible
     # only on pathological spikes — the estimator keeps quotients small).

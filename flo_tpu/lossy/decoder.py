@@ -217,34 +217,36 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
             nv[i - lo, : counts[i]] = n2
         e_lo, e_hi = int(entry_off[s0[lo]]), int(entry_off[s0[hi]])
         nv = nv.reshape(-1)
-        handles.append(
-            (
-                lo,
-                hi,
-                nv,
-                _decode_blocks_packed(
-                    jnp.asarray(compact.pad_entries(entries_all[e_lo:e_hi])),
-                    jnp.asarray(g.reshape(-1)),
-                    jnp.int32(e_hi - e_lo),
-                    jnp.asarray(sf[lo:hi]),
-                    jnp.asarray(nv),
-                    int(rate),
-                    n,
-                ),
-            )
+        h = _decode_blocks_packed(
+            jnp.asarray(compact.pad_entries(entries_all[e_lo:e_hi])),
+            jnp.asarray(g.reshape(-1)),
+            jnp.int32(e_hi - e_lo),
+            jnp.asarray(sf[lo:hi]),
+            jnp.asarray(nv),
+            int(rate),
+            n,
         )
+        from ..futures import start_host_copy
+
+        start_host_copy(h[1], h[2], h[3])  # modes/widths/bytes
+        handles.append((lo, hi, nv, h))
 
     def fin() -> list[np.ndarray]:
         from ..ops import blockpack
 
         outs = [None] * N
+        # Phase 1: async-start every chunk's payload download.
+        started = []
         for lo, hi, nv, h in handles:
             words_d, modes_d, widths_d, bytes_d = h
             dn_bytes = np.asarray(bytes_d).astype(np.int64)
             dn_off = np.zeros(len(dn_bytes), np.int64)
             np.cumsum(dn_bytes[:-1], out=dn_off[1:])
             total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
-            packed = blockpack.fetch_packed(words_d, total)
+            hp = blockpack.fetch_packed_start(words_d, total)
+            started.append((lo, hi, nv, hp, total, dn_off, modes_d, widths_d))
+        for lo, hi, nv, hp, total, dn_off, modes_d, widths_d in started:
+            packed = blockpack.fetch_packed_finish(hp, total)
             rows = blockpack.unpack_host(
                 packed, np.asarray(modes_d).astype(np.uint8),
                 np.asarray(widths_d).astype(np.uint8), dn_off,

@@ -210,17 +210,30 @@ def unpack_host(buf, modes, widths, lane_off, nvalid, S: int) -> np.ndarray:
     return np.where(np.arange(S)[None, :] < nvalid[:, None], out, 0)
 
 
+def fetch_packed_start(words_dev, total_bytes: int):
+    """Dispatch + async-start the packed-payload download (pack_rows words).
+    Finish with :func:`fetch_packed_finish`."""
+    from .ricepack import fetch_prefix_start
+
+    if total_bytes <= 0:
+        return None
+    return fetch_prefix_start(words_dev, -(-total_bytes // 4))
+
+
+def fetch_packed_finish(h, total_bytes: int) -> np.ndarray:
+    from .ricepack import fetch_prefix_finish
+
+    if h is None:
+        return np.zeros(PAD_BYTES, np.uint8)
+    w = fetch_prefix_finish(h, -(-total_bytes // 4))
+    b = np.ascontiguousarray(w).view(np.uint8)[:total_bytes]
+    return np.concatenate([b, np.zeros(PAD_BYTES, np.uint8)])
+
+
 def fetch_packed(words_dev, total_bytes: int) -> np.ndarray:
     """Download the first total_bytes of a device u32 word buffer (the
     pack_rows output) as bytes, with PAD_BYTES of trailing zeros appended."""
-    from .ricepack import fetch_prefix  # bucketed dynamic-slice download
-
-    if total_bytes <= 0:
-        return np.zeros(PAD_BYTES, np.uint8)
-    nwords = -(-total_bytes // 4)
-    w = fetch_prefix(words_dev, nwords)  # element-count semantics
-    b = np.ascontiguousarray(w).view(np.uint8)[:total_bytes]
-    return np.concatenate([b, np.zeros(PAD_BYTES, np.uint8)])
+    return fetch_packed_finish(fetch_packed_start(words_dev, total_bytes), total_bytes)
 
 
 # ---------------------------------------------------------------------------

@@ -212,10 +212,27 @@ def _take_prefix(arr, n: int):
     return jax.lax.dynamic_slice_in_dim(arr, 0, n)
 
 
+def fetch_prefix_start(arr, nelems: int):
+    """Dispatch the bucketed prefix slice and begin its host copy (does not
+    block). Finish with :func:`fetch_prefix_finish` — splitting the phases
+    lets one chunk's download overlap another chunk's host finalization."""
+    if nelems <= 0:
+        return None
+    from ..futures import start_host_copy
+
+    cap = arr.shape[0]
+    n = min(-(-nelems // PREFIX_BUCKET) * PREFIX_BUCKET, cap)
+    h = _take_prefix(arr, n)
+    start_host_copy(h)
+    return h
+
+
+def fetch_prefix_finish(h, nelems: int) -> np.ndarray:
+    if h is None:
+        return np.zeros(0, np.uint8)
+    return np.asarray(h)[:nelems]
+
+
 def fetch_prefix(arr, nbytes: int) -> np.ndarray:
     """Download the first nbytes of a device byte buffer (bucketed slice)."""
-    if nbytes <= 0:
-        return np.zeros(0, np.uint8)
-    cap = arr.shape[0]
-    n = min(-(-nbytes // PREFIX_BUCKET) * PREFIX_BUCKET, cap)
-    return np.asarray(_take_prefix(arr, n))[:nbytes]
+    return fetch_prefix_finish(fetch_prefix_start(arr, nbytes), nbytes)
