@@ -17,10 +17,11 @@ reference Examples corpus and includes the rate in the JSON.
 Honest ceiling note: on this environment the TPU is reached through a
 tunnel measured at ~15-40 MB/s per direction (high variance, multi-second
 stalls). Every pipeline ships entropy-coded payloads in BOTH directions
-(ops/ricepack, ops/riceunpack, ops/wirecodec, sparse coefficients), so the
-wall-clock headline is bounded by compressed-size bytes / tunnel bandwidth —
-see the `device_kernels` config for the compute-only realtime factor the
-same code hits when the wire isn't the bottleneck.
+(ops/blockpack block-packed transports, ops/ricepack container payloads,
+sparse lossy coefficients), so the wall-clock headline is bounded by
+compressed-size bytes / tunnel bandwidth — see the `device_kernels` /
+`device_reconstruct` configs for the compute-only realtime factors the same
+code hits when the wire isn't the bottleneck.
 """
 
 from __future__ import annotations
@@ -32,12 +33,14 @@ import time
 import numpy as np
 
 WORKLOAD_SECONDS = 60
-BATCH_FILES = 8
+BATCH_FILES = 8  # headline batch (16 was A/B-tested: >3x the pass time
+                 # for 2x the audio — bigger transfers amplify tunnel stalls)
 RATE = 44100
 CHANNELS = 2
 ITERS = 3
 NORTH_STAR = 1000.0
-BREADTH_SECONDS = 15  # per-config breadth passes (same file count)
+BREADTH_SECONDS = 15  # per-config breadth passes
+BREADTH_FILES = 8     # smaller batch keeps total bench wall time sane
 
 
 def make_audio(seconds: int, rate: int, seed: int = 42) -> np.ndarray:
@@ -182,10 +185,10 @@ def main() -> None:
     # ---- Breadth configs (BASELINE.md: all presets, levels, synthetic
     # stress, streaming). Shorter clips (same file count) keep total bench
     # wall time sane; value = audio-seconds encoded+decoded per second.
-    bclips = corpus_like_clips(BATCH_FILES, BREADTH_SECONDS)
+    bclips = corpus_like_clips(BREADTH_FILES, BREADTH_SECONDS)
     if bclips is None:
-        bclips = [make_audio(BREADTH_SECONDS, RATE, seed=7 + i) for i in range(BATCH_FILES)]
-    cfg_audio = BATCH_FILES * BREADTH_SECONDS * 2  # one encode + one decode
+        bclips = [make_audio(BREADTH_SECONDS, RATE, seed=7 + i) for i in range(BREADTH_FILES)]
+    cfg_audio = BREADTH_FILES * BREADTH_SECONDS * 2  # one encode + one decode
     configs: dict = {}
 
     def run_cfg(name, enc, dec, material):
@@ -216,7 +219,7 @@ def main() -> None:
             bclips,
         )
     # Near-incompressible stress content (the old synthetic headline).
-    noise = [make_audio(BREADTH_SECONDS, RATE, seed=42 + i) for i in range(BATCH_FILES)]
+    noise = [make_audio(BREADTH_SECONDS, RATE, seed=42 + i) for i in range(BREADTH_FILES)]
     run_cfg(
         "synthetic_noise_l5",
         lambda m: lle.encode_many(m, RATE, CHANNELS, 16, 5),
@@ -245,10 +248,10 @@ def main() -> None:
     pcm = np.stack(
         [np.round(c.reshape(-1, 2).T * 32767).astype(np.int16)[:, : RATE * BREADTH_SECONDS]
          for c in bclips]
-    ).reshape(BATCH_FILES, 2, -1)
+    ).reshape(BREADTH_FILES, 2, -1)
     # frames of 1s: [F, C, S]
     pcm_f = np.ascontiguousarray(
-        pcm.reshape(BATCH_FILES, 2, BREADTH_SECONDS, RATE).transpose(0, 2, 1, 3)
+        pcm.reshape(BREADTH_FILES, 2, BREADTH_SECONDS, RATE).transpose(0, 2, 1, 3)
     ).reshape(-1, 2, RATE)
     pcm_dev = jax.device_put(pcm_f)
     nv_dev = jax.device_put(np.full(pcm_f.shape[0], RATE, np.int32))
@@ -268,7 +271,7 @@ def main() -> None:
 
     dt = _time_device(lambda: encode_select_device(pcm_dev, nv_dev, kinds, orders))
     configs["device_kernels"] = {
-        "value": round(BATCH_FILES * BREADTH_SECONDS / dt, 1),
+        "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
         "note": "lossless candidate search + device Rice pack, device-resident I/O",
     }
 
@@ -290,7 +293,7 @@ def main() -> None:
     recon = jax.jit(_lpc.reconstruct_best)
     dt = _time_device(lambda: recon(res_dev, coeffs_d, z_d, two_d, fx_d))
     configs["device_reconstruct"] = {
-        "value": round(BATCH_FILES * BREADTH_SECONDS / dt, 1),
+        "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
         "note": "Pallas LPC reconstruction scan, device-resident I/O",
     }
 
