@@ -297,6 +297,25 @@ def main() -> None:
         "note": "Pallas LPC reconstruction scan, device-resident I/O",
     }
 
+    # Lossy encode compute: the full MDCT -> psychoacoustics -> quantize ->
+    # sparse-compact program on device-resident input (same jit the bulk
+    # path runs).
+    from flo_tpu.lossy.encoder import _encode_padded_compact, _file_padded, HOP
+    from flo_tpu.lossy.encoder import smr_threshold as _thr
+
+    pf = [_file_padded(c, CHANNELS) for c in bclips]
+    t_max_b = max(nh for _, nh in pf)
+    stackb = np.zeros((BREADTH_FILES * CHANNELS, (t_max_b + 1) * HOP), np.float32)
+    for i, (padded, nh) in enumerate(pf):
+        stackb[i * CHANNELS : (i + 1) * CHANNELS, : padded.shape[1]] = padded
+    stackb_dev = jax.device_put(stackb)
+    thrq = np.float32(_thr(q_med))
+    dt = _time_device(lambda: _encode_padded_compact(stackb_dev, RATE, thrq))
+    configs["device_mdct"] = {
+        "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
+        "note": "lossy MDCT+psy+quantize+compact, device-resident I/O",
+    }
+
     # Streaming decode (host state machine, frame-at-a-time).
     from flo_tpu.streaming import StreamingDecoder
 

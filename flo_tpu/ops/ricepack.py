@@ -202,9 +202,11 @@ def pack_lanes(residuals, k, nvalid, is_raw):
     )
 
 
-#: Download-slice bucket (bytes): prefixes round up to a multiple of this so
-#: the slice program recompiles at most ~dozens of times per process.
-PREFIX_BUCKET = 8 << 20
+#: Download-slice bucket (elements): prefixes round up to a multiple of this
+#: so the slice program compiles a bounded number of shapes. 2 MB: each fetch
+#: over-downloads at most one bucket, and payload sizes cluster, so the
+#: shape count stays small.
+PREFIX_BUCKET = 2 << 20
 
 
 @partial(jax.jit, static_argnames=("n",))
