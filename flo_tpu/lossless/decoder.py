@@ -180,14 +180,21 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
     return blockpack.pack_rows(lanes, lane_nvalid)
 
 
-def decode_many_async(flos: list[FloFile]) -> BulkFuture:
+def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
     """Bulk decode: every file's lanes in one reconstruction scan per channel
     count. The container's Rice streams are parsed by the C++ host decoder
     (exact under ANY quotient or truncation — the reference's zero-fill
     semantics, rice.rs:128-131 — so no per-lane escape paths exist); both
     wire directions then carry block-packed compressed-size payloads
-    (ops/blockpack). All device work is dispatched before this returns."""
+    (ops/blockpack). All device work is dispatched before this returns.
+
+    mesh: optional `jax.sharding.Mesh` (or ambient `parallel.use_mesh`) —
+    chunks pad their frame axis to a mesh multiple and run the same jitted
+    program GSPMD-sharded over the 'batch' axis; outputs are identical."""
     from ..core.convert import i32_to_f32_np
+    from ..parallel import pipeline as _pp
+
+    mesh = _pp.active_mesh(mesh)
 
     marshaled = [(_marshal_lanes(f), f.header.channels) for f in flos]
     outs: list[np.ndarray] = [np.zeros(0, dtype=np.float32)] * len(flos)
@@ -236,13 +243,20 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
             nb = _bucket_bytes(len(buf))
             if nb != len(buf):
                 buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
+            # Mesh padding: inert zero lanes (nvalid=0) at the frame tail.
+            pad_f = _pp.pad_batch(fhi_f - flo_f, mesh) - (fhi_f - flo_f)
+            pad_l = pad_f * channels
+            padf = lambda a, p: np.pad(a, [(0, p)] + [(0, 0)] * (a.ndim - 1))
+            pb = lambda x: _pp.put_batch(x, mesh)
             handle = _decode_lanes_bp(
-                jnp.asarray(buf), jnp.asarray(up_modes.astype(np.int32)),
-                jnp.asarray(up_widths), jnp.asarray(up_off.astype(np.int32)),
-                jnp.asarray(coeffs[lo:hi]), jnp.asarray(shifts[lo:hi]),
-                jnp.asarray(orders[lo:hi]), jnp.asarray(is_fixed[lo:hi]),
-                jnp.asarray(mid_side[flo_f:fhi_f]),
-                jnp.asarray(lane_nvalid[lo:hi]), channels, S_max,
+                _pp.put_replicated(buf, mesh),
+                pb(padf(up_modes.astype(np.int32), pad_l)),
+                pb(padf(up_widths, pad_l)),
+                pb(padf(up_off.astype(np.int32), pad_l)),
+                pb(padf(coeffs[lo:hi], pad_l)), pb(padf(shifts[lo:hi], pad_l)),
+                pb(padf(orders[lo:hi], pad_l)), pb(padf(is_fixed[lo:hi], pad_l)),
+                pb(padf(mid_side[flo_f:fhi_f], pad_f)),
+                pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
             )
             # Small outputs start their host copy now (ready when compute
             # ends); the payload prefix starts in collect's first phase.
@@ -263,7 +277,8 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
             # chunks' bytes stream while earlier chunks host-unpack.
             started = []
             for (words_d, modes_d, widths_d, bytes_d), lo, hi in handles:
-                dn_bytes = np.asarray(bytes_d).astype(np.int64)
+                # [:hi-lo]: drop inert mesh-padding lanes (zero bytes, tail).
+                dn_bytes = np.asarray(bytes_d).astype(np.int64)[: hi - lo]
                 dn_off = np.zeros(len(dn_bytes), np.int64)
                 np.cumsum(dn_bytes[:-1], out=dn_off[1:])
                 total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
@@ -273,8 +288,8 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
             for h, total, dn_off, modes_d, widths_d, lo, hi in started:
                 packed = blockpack.fetch_packed_finish(h, total)
                 part = blockpack.unpack_host(
-                    packed, np.asarray(modes_d).astype(np.uint8),
-                    np.asarray(widths_d).astype(np.uint8), dn_off,
+                    packed, np.asarray(modes_d).astype(np.uint8)[: hi - lo],
+                    np.asarray(widths_d).astype(np.uint8)[: hi - lo], dn_off,
                     lane_nvalid[lo:hi].astype(np.int64), S_max,
                 )
                 chunks.append(part.reshape(-1, channels, S_max))
@@ -300,9 +315,9 @@ def decode_many_async(flos: list[FloFile]) -> BulkFuture:
     return BulkFuture(fin)
 
 
-def decode_many(flos: list[FloFile]) -> list[np.ndarray]:
+def decode_many(flos: list[FloFile], mesh=None) -> list[np.ndarray]:
     """Blocking form of decode_many_async."""
-    return decode_many_async(flos).result()
+    return decode_many_async(flos, mesh=mesh).result()
 
 
 def _undo_midside_host(fcs: np.ndarray, mid_side: np.ndarray, channels: int) -> np.ndarray:

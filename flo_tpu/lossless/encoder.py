@@ -97,6 +97,7 @@ def encode_many_to_frames_async(
     compression_level: int = 5,
     analysis: str = "exact",
     compat: str = "fixed",
+    mesh=None,
 ) -> BulkFuture:
     """Encode MANY files (same rate/channels) in one batched pass.
 
@@ -105,6 +106,11 @@ def encode_many_to_frames_async(
     the workload's parallelism story, SURVEY.md §2.9). All device work is
     DISPATCHED before this returns; the BulkFuture's result() blocks on the
     downloads and yields one frame list per input file.
+
+    mesh: optional `jax.sharding.Mesh` (or ambient `parallel.use_mesh`) —
+    each chunk's frame axis is padded to a mesh multiple and the SAME jitted
+    search runs GSPMD-sharded over the 'batch' axis; output bytes are
+    identical to the unsharded path (parallel/pipeline.py).
     """
     C = int(channels)
     spf = int(sample_rate)
@@ -166,7 +172,12 @@ def encode_many_to_frames_async(
     fsc_batch = np.stack(active_fsc)  # [F', S, C]
     nvalid_f = np.asarray(active_nvalid, dtype=np.int64)
 
-    states = _dispatch_active_frames(fsc_batch, nvalid_f, C, kinds, cand_orders, analysis)
+    from ..parallel import pipeline as _pp
+
+    states = _dispatch_active_frames(
+        fsc_batch, nvalid_f, C, kinds, cand_orders, analysis,
+        mesh=_pp.active_mesh(mesh),
+    )
 
     def fin() -> List[List[Frame]]:
         # Phase 1: async-start every chunk's payload download so later
@@ -206,7 +217,7 @@ PIPELINE_CHUNKS = 4
 
 
 def _dispatch_active_frames(
-    fsc, frame_samples, C, kinds, cand_orders, analysis: str = "exact"
+    fsc, frame_samples, C, kinds, cand_orders, analysis: str = "exact", mesh=None
 ):
     """Dispatch a batch of non-silent frames [F', S, C] as PIPELINE_CHUNKS
     sub-batches; returns the per-chunk states for _collect_chunk.
@@ -228,22 +239,41 @@ def _dispatch_active_frames(
             continue
         states.append(
             _dispatch_chunk(
-                fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders, analysis
+                fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders, analysis,
+                mesh=mesh,
             )
         )
     return states
 
 
-def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact"):
+def _pad_frames(arr, pad_f, axis=0):
+    """Zero-pad `pad_f` extra entries along `axis` (inert mesh-padding rows)."""
+    if pad_f == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad_f)
+    return np.pad(arr, widths)
+
+
+def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
+                    mesh=None):
     """Host marshal + async device dispatch for one sub-batch.
 
-    fsc: [F', S, C] int32 samples (framing converts f32 inputs upstream)."""
+    fsc: [F', S, C] int32 samples (framing converts f32 inputs upstream).
+    Under a mesh, the frame axis is padded to a mesh multiple (padding frames
+    are nvalid=0 -> zero-byte raw winners at the lane tail) and every batch
+    array is uploaded with the 'batch' sharding; small inputs replicate."""
+    from ..parallel import pipeline as _pp
+
     NC = len(kinds)
     spf = fsc.shape[1]
     max_order = max(
         (o for kd, o in zip(kinds, cand_orders) if kd == "lpc"), default=0
     )
     ints = fsc  # [F', S, C]
+    pad_f = _pp.pad_batch(fsc.shape[0], mesh) - fsc.shape[0]
+    pb = lambda x: _pp.put_batch(x, mesh)
+    pr = lambda x: _pp.put_replicated(x, mesh)
 
     if analysis == "device":
         # Block-packed PCM upload (ops/blockpack): the input crosses the wire
@@ -259,9 +289,11 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
         if nb != len(buf):
             buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
         device_out = encode_select_packed(
-            jnp.asarray(buf), jnp.asarray(modes_up.astype(np.int32)),
-            jnp.asarray(widths_up), jnp.asarray(lane_off_up.astype(np.int32)),
-            jnp.asarray(frame_samples.astype(np.int32)),
+            pr(buf),
+            pb(_pad_frames(modes_up.astype(np.int32), pad_f * C)),
+            pb(_pad_frames(widths_up, pad_f * C)),
+            pb(_pad_frames(lane_off_up.astype(np.int32), pad_f * C)),
+            pb(_pad_frames(frame_samples.astype(np.int32), pad_f)),
             tuple(kinds), tuple(cand_orders), C, spf,
         )
         # Start host copies for the small outputs (everything but the packed
@@ -325,14 +357,14 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact")
     # i16-representable by construction (f32_to_i32 clamps to [-32768, 32767]).
     pcm16 = np.moveaxis(ints, 2, 1).astype(np.int16)
     device_out = encode_select_pcm16(
-        jnp.asarray(pcm16),
-        jnp.asarray(mid_side),
-        jnp.asarray(nvalid_f.astype(np.int32)),
-        jnp.asarray(coeffs_all),
-        jnp.asarray(shifts_all),
-        jnp.asarray(orders_all),
-        jnp.asarray(fixed_all),
-        jnp.asarray(cand_ok),
+        pb(_pad_frames(pcm16, pad_f)),
+        pb(_pad_frames(mid_side, pad_f)),
+        pb(_pad_frames(nvalid_f.astype(np.int32), pad_f)),
+        pb(_pad_frames(coeffs_all, pad_f * C)),
+        pb(_pad_frames(shifts_all, pad_f * C)),
+        pb(_pad_frames(orders_all, pad_f * C)),
+        pb(_pad_frames(fixed_all, pad_f * C)),
+        pb(_pad_frames(cand_ok, pad_f * C)),
         is_lpc,
     )
     from ..futures import start_host_copy
@@ -514,6 +546,7 @@ def encode_many_async(
     compression_level: int = 5,
     metadata_list=None,
     analysis: str = "device",
+    mesh=None,
 ) -> BulkFuture:
     """Bulk encode, dispatched immediately; result() yields the file bytes.
 
@@ -523,9 +556,14 @@ def encode_many_async(
     stream); corpus re-encode sizes drift <= 1 byte vs analysis="exact"
     (the reference-parity host i64/f64 path, still the single-file
     encode() default and available here as an option).
+
+    mesh: optional device mesh for GSPMD batch sharding (or ambient
+    `parallel.use_mesh`); see encode_many_to_frames_async.
     """
     level = min(int(compression_level), 9)
-    fut = encode_many_to_frames_async(samples_list, sample_rate, channels, level, analysis)
+    fut = encode_many_to_frames_async(
+        samples_list, sample_rate, channels, level, analysis, mesh=mesh
+    )
     n = len(samples_list)
     metas = metadata_list or [b""] * n
     return fut.then(
@@ -546,12 +584,13 @@ def encode_many(
     compression_level: int = 5,
     metadata_list=None,
     analysis: str = "device",
+    mesh=None,
 ) -> List[bytes]:
     """Bulk encode: many files, one device pass (blocking form; see
     encode_many_async for the analysis="device" bulk default)."""
     return encode_many_async(
         samples_list, sample_rate, channels, bit_depth, compression_level,
-        metadata_list, analysis,
+        metadata_list, analysis, mesh=mesh,
     ).result()
 
 

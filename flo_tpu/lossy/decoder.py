@@ -144,14 +144,23 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
-def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFuture:
+def decode_many_async(
+    flos: list[FloFile], transport_dtype=np.float32, mesh=None
+) -> BulkFuture:
     """Bulk decode: all files' blocks in chunked device calls (T padded to
     the batch max; every file must share sample_rate/block size/channels).
     All device work is dispatched before this returns.
 
     transport_dtype=np.float16 halves the device->host download at ~1e-4
     sample error (well inside the lossy tolerance); output is still f32.
+
+    mesh: optional `jax.sharding.Mesh` (or ambient `parallel.use_mesh`) —
+    chunks pad their file axis to a mesh multiple and run the same jitted
+    program GSPMD-sharded over the 'batch' axis; outputs are identical.
     """
+    from ..parallel import pipeline as _pp
+
+    mesh = _pp.active_mesh(mesh)
     parsed_files = []
     for flo in flos:
         parsed = []
@@ -210,19 +219,24 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
     handles = []
     for lo in range(0, N, half):
         hi = min(lo + half, N)
-        g = np.zeros((hi - lo, t_max, C), np.int32)
-        nv = np.zeros((hi - lo, t_max, C), np.int32)
+        # Quantum padding: inert zero files (nvalid=0, no entries) at the
+        # tail — fixed geometry keeps the batch-size-dependent f32 IMDCT
+        # identical between sharded and unsharded runs (pipeline.pad_quantum).
+        pad_n = _pp.pad_quantum(hi - lo, mesh, 8) - (hi - lo)
+        g = np.zeros((hi - lo + pad_n, t_max, C), np.int32)
+        nv = np.zeros((hi - lo + pad_n, t_max, C), np.int32)
         for i in range(lo, hi):
             g[i - lo, : counts[i]] = stream_nnz[s0[i] : s0[i + 1]].reshape(-1, C)
             nv[i - lo, : counts[i]] = n2
         e_lo, e_hi = int(entry_off[s0[lo]]), int(entry_off[s0[hi]])
         nv = nv.reshape(-1)
+        sf_pad = np.pad(sf[lo:hi], [(0, pad_n)] + [(0, 0)] * (sf.ndim - 1))
         h = _decode_blocks_packed(
-            jnp.asarray(compact.pad_entries(entries_all[e_lo:e_hi])),
-            jnp.asarray(g.reshape(-1)),
-            jnp.int32(e_hi - e_lo),
-            jnp.asarray(sf[lo:hi]),
-            jnp.asarray(nv),
+            _pp.put_replicated(compact.pad_entries(entries_all[e_lo:e_hi]), mesh),
+            _pp.put_batch(g.reshape(-1), mesh),
+            _pp.put_replicated(np.int32(e_hi - e_lo), mesh),
+            _pp.put_batch(sf_pad, mesh),
+            _pp.put_batch(nv, mesh),
             int(rate),
             n,
         )
@@ -252,7 +266,8 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
                 np.asarray(widths_d).astype(np.uint8), dn_off,
                 nv.astype(np.int64), n2,
             )  # [(hi-lo)*T*C, n2]
-            segs = np.moveaxis(rows.reshape(hi - lo, t_max, C, n2), 2, 3)
+            # [:hi-lo]: drop inert mesh-padding files (zero rows, tail).
+            segs = np.moveaxis(rows.reshape(-1, t_max, C, n2)[: hi - lo], 2, 3)
             segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
             for i in range(lo, hi):
                 # drop each file's pre-roll frame
@@ -262,6 +277,8 @@ def decode_many_async(flos: list[FloFile], transport_dtype=np.float32) -> BulkFu
     return BulkFuture(fin)
 
 
-def decode_many(flos: list[FloFile], transport_dtype=np.float32) -> list[np.ndarray]:
+def decode_many(
+    flos: list[FloFile], transport_dtype=np.float32, mesh=None
+) -> list[np.ndarray]:
     """Blocking form of decode_many_async."""
-    return decode_many_async(flos, transport_dtype).result()
+    return decode_many_async(flos, transport_dtype, mesh=mesh).result()

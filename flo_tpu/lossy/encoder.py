@@ -110,12 +110,13 @@ def _encode_packed_compact(buf, modes, widths, lane_off, nvalid,
     return _encode_padded_compact(padded, sample_rate, thr)
 
 
-def _dispatch_packed(stacked_f32, used, sample_rate: int, thr):
+def _dispatch_packed(stacked_f32, used, sample_rate: int, thr, mesh=None):
     """Host side of the packed transport: quantize the [Lc, W] f32 signal to
     i16 (round; <= 1.5e-5 — below every preset's codec noise), block-pack
     (one C++ pass), dispatch the packed program."""
     from ..lossless.decoder import _bucket_bytes
     from ..ops import blockpack
+    from ..parallel import pipeline as _pp
 
     Lc, W = stacked_f32.shape
     rows = np.clip(
@@ -125,10 +126,14 @@ def _dispatch_packed(stacked_f32, used, sample_rate: int, thr):
     nb = _bucket_bytes(len(buf))
     if nb != len(buf):
         buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
+    pad_l = _pp.pad_quantum(Lc, mesh, 8) - Lc
+    padf = lambda a: np.pad(a, (0, pad_l))
+    pb = lambda x: _pp.put_batch(x, mesh)
     return _encode_packed_compact(
-        jnp.asarray(buf), jnp.asarray(modes.astype(np.int32)),
-        jnp.asarray(widths), jnp.asarray(lane_off.astype(np.int32)),
-        jnp.asarray(used.astype(np.int32)), int(sample_rate), thr, W,
+        _pp.put_replicated(buf, mesh), pb(padf(modes.astype(np.int32))),
+        pb(padf(widths)), pb(padf(lane_off.astype(np.int32))),
+        pb(padf(used.astype(np.int32))), int(sample_rate),
+        _pp.put_replicated(thr, mesh), W,
     )
 
 
@@ -183,7 +188,7 @@ def _assemble_frames(
 
 def encode_many_to_frames_async(
     samples_list, sample_rate: int, channels: int, quality: float,
-    transport_dtype=np.float32,
+    transport_dtype=np.float32, mesh=None,
 ) -> BulkFuture:
     """Bulk blocked MDCT encode: all files' channel lanes stacked into
     chunked device calls (hop counts padded to the batch max; padding blocks
@@ -195,7 +200,14 @@ def encode_many_to_frames_async(
     transport_dtype="packed" block-packs the upload (i16-rounded,
     ~1.5e-5 quantization; ops/blockpack): compressed-size wire bytes at one
     C++ host pass — the right choice on bandwidth-starved links. The legacy
-    alias "rice16" is accepted."""
+    alias "rice16" is accepted.
+
+    mesh: optional `jax.sharding.Mesh` (or ambient `parallel.use_mesh`) —
+    chunks pad their lane axis to a mesh multiple and the same jitted program
+    runs GSPMD-sharded over the 'batch' axis; outputs are identical."""
+    from ..parallel import pipeline as _pp
+
+    mesh = _pp.active_mesh(mesh)
     C = int(channels)
     packed_wire = isinstance(transport_dtype, str) and transport_dtype in ("packed", "rice16")
     per_file = [_file_padded(s, C) for s in samples_list]
@@ -222,18 +234,22 @@ def encode_many_to_frames_async(
                 [(per_file[(lo + j) // C][1] + 1) * HOP for j in range(hi - lo)],
                 dtype=np.int64,
             )
-            h = _dispatch_packed(stacked[lo:hi], used, int(sample_rate), thr)
+            h = _dispatch_packed(stacked[lo:hi], used, int(sample_rate), thr, mesh)
         else:
+            pad_l = _pp.pad_quantum(hi - lo, mesh, 8) - (hi - lo)
             h = _encode_padded_compact(
-                jnp.asarray(stacked[lo:hi]), int(sample_rate), thr
+                _pp.put_batch(np.pad(stacked[lo:hi], ((0, pad_l), (0, 0))), mesh),
+                int(sample_rate), _pp.put_replicated(thr, mesh),
             )
         handles.append((hi - lo, h))
 
     def fin() -> list[list[Frame]]:
         q_parts, sf_parts = [], []
         for nl, (entries_d, row_nnz_d, sf_d) in handles:
-            row_nnz = np.asarray(row_nnz_d)
-            sf_parts.append(np.asarray(sf_d))
+            # [:nl...]: drop inert mesh-padding lanes (zero rows at the tail
+            # contribute no nonzero entries, so the prefix is unaffected).
+            row_nnz = np.asarray(row_nnz_d)[: nl * t_max]
+            sf_parts.append(np.asarray(sf_d)[:nl])
             entries = compact.fetch_prefix(entries_d, int(row_nnz.sum()))
             cols, vals = compact.split_entries(entries)
             R = nl * t_max
@@ -295,10 +311,11 @@ def encode_many_async(
     metadata_list=None,
     bit_depth: int = 16,
     transport_dtype=np.float32,
+    mesh=None,
 ) -> BulkFuture:
     """Bulk lossy encode, dispatched immediately; result() -> file bytes."""
     fut = encode_many_to_frames_async(
-        samples_list, sample_rate, channels, quality, transport_dtype
+        samples_list, sample_rate, channels, quality, transport_dtype, mesh=mesh
     )
     q_u8 = min(int(round(min(max(float(quality), 0.0), 1.0) * 4.0)), 4)
     metas = metadata_list or [b""] * len(samples_list)
@@ -321,11 +338,12 @@ def encode_many(
     metadata_list=None,
     bit_depth: int = 16,
     transport_dtype=np.float32,
+    mesh=None,
 ) -> list[bytes]:
     """Bulk lossy encode: one device pass for every file (blocking form)."""
     return encode_many_async(
         samples_list, sample_rate, channels, quality, metadata_list, bit_depth,
-        transport_dtype,
+        transport_dtype, mesh=mesh,
     ).result()
 
 

@@ -6,10 +6,26 @@ axis over codec lanes (data parallelism — the only parallelism dimension the
 workload warrants, SURVEY.md §2.9). Each lane is independent, so XLA
 partitions every step with zero collectives; host gather of the
 variable-length packed streams is the only cross-device synchronization.
+
+PRODUCTION bulk pipelines (lossless/lossy encode_many + decode_many) take an
+optional mesh, either as an explicit ``mesh=`` argument or ambiently via
+:func:`use_mesh`::
+
+    with flo_tpu.parallel.use_mesh(pipeline.device_mesh()):
+        datas = lossless.encoder.encode_many(clips, 44100, 2)
+
+Their chunk dispatchers then pad each chunk's frame axis to a mesh multiple
+and device_put every batch-major array with a 'batch' NamedSharding (small
+side inputs are replicated), so the SAME jitted programs run GSPMD-partitioned
+over all chips. Per-lane work partitions with zero collectives; only the
+entropy-packed wire buffers' global offset scans cross shard boundaries.
+Outputs are byte-identical to the unsharded path (tests/test_parallel.py;
+exercised end-to-end by __graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from functools import partial
 
 import jax
@@ -20,12 +36,76 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.select import encode_select_step  # re-exported sharded step
 
 __all__ = [
+    "active_mesh",
     "batch_sharding",
     "decode_step",
     "device_mesh",
     "encode_select_step",
+    "pad_batch",
+    "put_batch",
+    "put_replicated",
     "shard_batch",
+    "use_mesh",
 ]
+
+#: Ambient mesh stack for the bulk pipelines (see use_mesh).
+_MESH_STACK: list[Mesh] = []
+
+
+@contextmanager
+def use_mesh(mesh: Mesh):
+    """Route every bulk pipeline dispatched inside the block over `mesh`."""
+    _MESH_STACK.append(mesh)
+    try:
+        yield mesh
+    finally:
+        _MESH_STACK.pop()
+
+
+def active_mesh(mesh: Mesh | None = None) -> Mesh | None:
+    """Resolve the effective mesh: explicit argument, else ambient, else None."""
+    if mesh is not None:
+        return mesh
+    return _MESH_STACK[-1] if _MESH_STACK else None
+
+
+def mesh_size(mesh: Mesh | None) -> int:
+    return 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
+
+
+def pad_batch(n: int, mesh: Mesh | None) -> int:
+    """Round a batch count up to a mesh multiple (padding lanes are inert:
+    nvalid=0 rows select raw with zero payload bytes everywhere)."""
+    d = mesh_size(mesh)
+    return -(-n // d) * d
+
+
+def pad_quantum(n: int, mesh: Mesh | None, quantum: int) -> int:
+    """Round a batch count up to lcm(quantum, mesh size).
+
+    The f32 pipelines (FFT/psycho) are batch-SIZE-dependent at the ulp level
+    (XLA tiles reductions differently), so sharded == unsharded byte equality
+    needs both paths to run the same padded geometry: lossy chunks always pad
+    to `quantum` lanes; a mesh whose size divides the quantum then changes
+    nothing. (Meshes larger than the quantum pad further; outputs remain
+    decode-equivalent within f32 ulp.)"""
+    d = int(np.lcm(quantum, mesh_size(mesh)))
+    return -(-n // d) * d
+
+
+def put_batch(x, mesh: Mesh | None):
+    """Upload with axis-0 'batch' sharding under a mesh, else plain asarray."""
+    if mesh is None:
+        return jnp.asarray(x)
+    return jax.device_put(np.asarray(x), batch_sharding(mesh, np.ndim(x)))
+
+
+def put_replicated(x, mesh: Mesh | None):
+    """Upload fully replicated under a mesh (small side inputs — a jit cannot
+    mix mesh-committed and single-device-committed arguments)."""
+    if mesh is None:
+        return jnp.asarray(x)
+    return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
 
 
 def device_mesh(devices=None, n: int | None = None) -> Mesh:
