@@ -269,10 +269,25 @@ def main() -> None:
             _force(out)
         return (time.time() - t0) / reps
 
-    dt = _time_device(lambda: encode_select_device(pcm_dev, nv_dev, kinds, orders))
+    from flo_tpu.ops import blockspread
+
+    def select_and_pack():
+        """The production two-phase device pass: fused search + block spread
+        (stage 1), tiny size download, entropy-bucketed word assembly
+        (stage 2) — the same flow _start_chunk_fetch runs per chunk."""
+        out = encode_select_device(pcm_dev, nv_dev, kinds, orders)
+        stage, lane_bytes_d, lane_off_d = out[3], out[4], out[5]
+        lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+        lane_off = np.asarray(lane_off_d).astype(np.int64)
+        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
+        NW = blockspread.bucket_words(total // 4)
+        return blockspread.pack_stage2(NW=NW, **stage)
+
+    dt = _time_device(select_and_pack)
     configs["device_kernels"] = {
         "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
-        "note": "lossless candidate search + device Rice pack, device-resident I/O",
+        "note": "lossless candidate search + device Rice pack (two-phase "
+                "block-spread), device-resident I/O",
     }
 
     # Decode-side device kernels: block-packed residual unpack + the Pallas
@@ -316,8 +331,27 @@ def main() -> None:
         "note": "lossy MDCT+psy+quantize+compact, device-resident I/O",
     }
 
+    # Streaming encode (host C++ candidate search, frame-at-a-time —
+    # native/encode.cpp; a device round trip per 1 s frame cannot amortize).
+    from flo_tpu.streaming import StreamingDecoder, StreamingEncoder
+
+    def stream_encode_all():
+        se = StreamingEncoder(RATE, CHANNELS)
+        step = RATE // 4 * CHANNELS
+        for i in range(0, len(audio), step):
+            se.push_samples(audio[i : i + step])
+            while se.next_frame() is not None:
+                pass
+        return se.flush()
+
+    stream_encode_all()  # warmup (native build, caches)
+    t0 = time.time()
+    stream_encode_all()
+    configs["streaming_encode"] = {
+        "value": round(WORKLOAD_SECONDS / (time.time() - t0), 1)
+    }
+
     # Streaming decode (host state machine, frame-at-a-time).
-    from flo_tpu.streaming import StreamingDecoder
 
     def stream_all():
         sd = StreamingDecoder()

@@ -234,6 +234,11 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
         # extra round trips contend with the other pipelines' transfers.)
         F_tot = L_tot // channels
         f_half = F_tot // 2 if F_tot >= 4 else F_tot
+        # Keep each chunk under the device packer's int32 bit-index bound
+        # (blockpack.MAX_PACK_SAMPLES; the download transport packs
+        # channels * S_max padded samples per frame).
+        spad_f = channels * blockpack.nblocks(S_max) * blockpack.BLK
+        f_half = max(1, min(f_half, blockpack.MAX_PACK_SAMPLES // max(spad_f, 1)))
 
         def dispatch(flo_f, fhi_f):
             lo, hi = flo_f * channels, fhi_f * channels

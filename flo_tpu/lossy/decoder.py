@@ -156,7 +156,8 @@ def decode_many_async(
 
     mesh: optional `jax.sharding.Mesh` (or ambient `parallel.use_mesh`) —
     chunks pad their file axis to a mesh multiple and run the same jitted
-    program GSPMD-sharded over the 'batch' axis; outputs are identical.
+    program GSPMD-sharded over the 'batch' axis; outputs match the unsharded
+    path within one i16 quantization step (see parallel/pipeline.py).
     """
     from ..parallel import pipeline as _pp
 
@@ -216,13 +217,17 @@ def decode_many_async(
     # for API compatibility but no longer changes the wire format.
     n2 = n // 2
     half = N // 2 if N >= 4 else N
+    # Device packer int32 bit-index bound (blockpack.MAX_PACK_SAMPLES): each
+    # file packs t_max * C rows of n2 padded samples on the download side.
+    from ..ops import blockpack as _bp
+
+    spad_file = t_max * C * _bp.nblocks(n2) * _bp.BLK
+    half = max(1, min(half, _bp.MAX_PACK_SAMPLES // max(spad_file, 1)))
     handles = []
     for lo in range(0, N, half):
         hi = min(lo + half, N)
-        # Quantum padding: inert zero files (nvalid=0, no entries) at the
-        # tail — fixed geometry keeps the batch-size-dependent f32 IMDCT
-        # identical between sharded and unsharded runs (pipeline.pad_quantum).
-        pad_n = _pp.pad_quantum(hi - lo, mesh, 8) - (hi - lo)
+        # Mesh padding: inert zero files (nvalid=0, no entries) at the tail.
+        pad_n = _pp.pad_batch(hi - lo, mesh) - (hi - lo)
         g = np.zeros((hi - lo + pad_n, t_max, C), np.int32)
         nv = np.zeros((hi - lo + pad_n, t_max, C), np.int32)
         for i in range(lo, hi):

@@ -126,7 +126,7 @@ def _dispatch_packed(stacked_f32, used, sample_rate: int, thr, mesh=None):
     nb = _bucket_bytes(len(buf))
     if nb != len(buf):
         buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
-    pad_l = _pp.pad_quantum(Lc, mesh, 8) - Lc
+    pad_l = _pp.pad_batch(Lc, mesh) - Lc
     padf = lambda a: np.pad(a, (0, pad_l))
     pb = lambda x: _pp.put_batch(x, mesh)
     return _encode_packed_compact(
@@ -204,7 +204,9 @@ def encode_many_to_frames_async(
 
     mesh: optional `jax.sharding.Mesh` (or ambient `parallel.use_mesh`) —
     chunks pad their lane axis to a mesh multiple and the same jitted program
-    runs GSPMD-sharded over the 'batch' axis; outputs are identical."""
+    runs GSPMD-sharded over the 'batch' axis. Outputs are decode-equivalent
+    within one i16 quantization step (the f32 FFT stages are nondeterministic
+    at the ulp level on some backends; see parallel/pipeline.py)."""
     from ..parallel import pipeline as _pp
 
     mesh = _pp.active_mesh(mesh)
@@ -236,7 +238,7 @@ def encode_many_to_frames_async(
             )
             h = _dispatch_packed(stacked[lo:hi], used, int(sample_rate), thr, mesh)
         else:
-            pad_l = _pp.pad_quantum(hi - lo, mesh, 8) - (hi - lo)
+            pad_l = _pp.pad_batch(hi - lo, mesh) - (hi - lo)
             h = _encode_padded_compact(
                 _pp.put_batch(np.pad(stacked[lo:hi], ((0, pad_l), (0, 0))), mesh),
                 int(sample_rate), _pp.put_replicated(thr, mesh),

@@ -40,6 +40,11 @@ BLK = 256
 #: final code never read out of bounds.
 PAD_BYTES = 8
 
+#: pack_rows computes absolute BIT positions in int32 (worst case 32 bits
+#: per padded sample), so one call is bounded to this many padded samples
+#: (L * nblocks(S) * BLK). Chunk callers split to stay below it.
+MAX_PACK_SAMPLES = (1 << 31) // 32 - 2 * BLK
+
 
 def nblocks(S: int) -> int:
     return -(-S // BLK)
@@ -313,6 +318,13 @@ def pack_rows(rows, nvalid):
     L, S = rows.shape
     NB = nblocks(S)
     Spad = NB * BLK
+    if L * Spad > MAX_PACK_SAMPLES:
+        # Static (trace-time) guard: beyond this, bitpos wraps int32 and
+        # silently corrupts the packed payload. Chunk the batch instead.
+        raise ValueError(
+            f"pack_rows batch too large for int32 bit indexing: "
+            f"{L}x{Spad} > {MAX_PACK_SAMPLES} padded samples"
+        )
     j = jnp.arange(Spad, dtype=jnp.int32)
     valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
     vpad = rows if Spad == S else jnp.pad(rows, ((0, 0), (0, Spad - S)))

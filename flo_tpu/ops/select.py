@@ -187,17 +187,24 @@ def _lanes_from_pcm16(pcm16, mid_side):
 
 
 def _transport_outputs(sel, k, size, residuals, win_c, win_shift, nvalid):
-    """Pack every winner's wire payload ON DEVICE (ops/ricepack.py): Rice
+    """Pack every winner's wire payload ON DEVICE (ops/blockspread.py): Rice
     streams for selected candidates, verbatim LE16 for raw winners. The host
     downloads only the packed bytes + tiny per-lane tables — entropy-coded
     size instead of full i16 residual tensors (the round-1 wire bottleneck).
-    The device-resident residual tensor rides along for the host's exact
-    re-pack of `bad` lanes (>32-bit codes, see ricepack.pack_lanes).
-    """
-    from .ricepack import pack_lanes
 
-    packed, lane_bytes, lane_off, bad = pack_lanes(residuals, k, nvalid, sel == 0)
-    return sel, k, size, packed, lane_bytes, lane_off, bad, residuals, win_c, win_shift
+    Two-phase: this (stage 1) runs the block-dense spread fused with the
+    search; the caller downloads the tiny lane sizes, then dispatches
+    blockspread.pack_stage2 at an entropy-sized word bucket (the round-2
+    packer's 16-bit/sample worst-case bit domain cost 425 ms of indexed ops
+    per [240, 44100] batch — see ops/blockspread.py).
+
+    The device-resident residual tensor rides along for the host's exact
+    re-pack of `bad` lanes (patch-capacity overflow, blockspread.PATCH_CAP).
+    """
+    from .blockspread import pack_stage1
+
+    stage, lane_bytes, lane_off, bad = pack_stage1(residuals, k, nvalid, sel == 0)
+    return sel, k, size, stage, lane_bytes, lane_off, bad, residuals, win_c, win_shift
 
 
 @partial(jax.jit, static_argnames=("is_lpc",))

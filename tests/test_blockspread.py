@@ -1,0 +1,120 @@
+"""Block-spread device Rice packer (ops/blockspread) vs the host oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flo_tpu.core import rice_host
+from flo_tpu.ops import blockspread
+
+
+def _pack(residuals, k, nvalid, is_raw):
+    L, S = residuals.shape
+    import jax
+
+    stage, lane_bytes_d, lane_off_d, bad_d = jax.jit(blockspread.pack_stage1)(
+        jnp.asarray(residuals), jnp.asarray(k), jnp.asarray(nvalid), jnp.asarray(is_raw)
+    )
+    lane_bytes = np.asarray(lane_bytes_d)
+    lane_off = np.asarray(lane_off_d)
+    total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4) if L else 0
+    NW = blockspread.bucket_words(-(-total // 4))
+    words = blockspread.pack_stage2(NW=NW, **stage)
+    stream = np.asarray(words).byteswap().view(np.uint8)
+    return stream, lane_bytes, lane_off, np.asarray(bad_d)
+
+
+def _check_lanes(residuals, k, nvalid, is_raw):
+    stream, lane_bytes, lane_off, bad = _pack(residuals, k, nvalid, is_raw)
+    assert not bad.any()
+    for l in range(residuals.shape[0]):
+        got = bytes(stream[lane_off[l] : lane_off[l] + lane_bytes[l]])
+        n = nvalid[l]
+        if is_raw[l]:
+            want = residuals[l, :n].astype(np.int16).astype("<i2").tobytes()
+        else:
+            want = rice_host.encode(residuals[l, :n], int(k[l]))
+        assert got == want, f"lane {l}"
+        assert len(want) == lane_bytes[l]
+
+
+class TestBlockSpread:
+    def test_basic_rice_lanes(self):
+        rng = np.random.default_rng(0)
+        L, S = 6, 1000
+        residuals = rng.integers(-200, 200, (L, S)).astype(np.int32)
+        k = np.array(
+            [rice_host.estimate_parameter(residuals[l]) for l in range(L)], np.int32
+        )
+        nvalid = np.full(L, S, np.int32)
+        _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
+
+    def test_long_codes_and_spikes(self):
+        """Transients produce >32-bit codes (quotient cap 255) -> patch pass."""
+        rng = np.random.default_rng(1)
+        L, S = 4, 700
+        residuals = rng.integers(-30, 30, (L, S)).astype(np.int32)
+        # A few enormous spikes at k=0-ish: codes up to 256+k bits.
+        for l in range(L):
+            pos = rng.integers(0, S, 5)
+            residuals[l, pos] = rng.integers(1 << 12, 1 << 20, 5)
+        k = np.array([1, 0, 3, 2], np.int32)
+        nvalid = np.full(L, S, np.int32)
+        _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
+
+    def test_raw_lanes_and_mixed(self):
+        rng = np.random.default_rng(2)
+        L, S = 5, 513
+        residuals = rng.integers(-32768, 32768, (L, S)).astype(np.int32)
+        k = np.array([2, 0, 5, 1, 3], np.int32)
+        is_raw = np.array([True, False, True, False, False])
+        nvalid = np.array([513, 400, 64, 513, 1], np.int32)
+        _check_lanes(residuals, k, nvalid, is_raw)
+
+    def test_empty_and_partial_lanes(self):
+        rng = np.random.default_rng(3)
+        L, S = 7, 300
+        residuals = rng.integers(-50, 50, (L, S)).astype(np.int32)
+        k = np.full(L, 2, np.int32)
+        nvalid = np.array([300, 0, 17, 0, 299, 32, 33], np.int32)
+        _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
+
+    def test_all_k_values(self):
+        rng = np.random.default_rng(4)
+        L, S = 16, 257
+        residuals = np.stack(
+            [rng.integers(-(1 << min(kk + 3, 20)), 1 << min(kk + 3, 20), S) for kk in range(16)]
+        ).astype(np.int32)
+        k = np.arange(16, dtype=np.int32)
+        nvalid = np.full(L, S, np.int32)
+        _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
+
+    def test_word_exact_block_boundaries(self):
+        """Every code 2 bits at k=1 -> blocks of exactly 64 bits (2 words,
+        zero straddle) exercise the aligned-advance path."""
+        L, S = 3, 256
+        residuals = np.zeros((L, S), np.int32)
+        k = np.ones(L, np.int32)
+        nvalid = np.full(L, S, np.int32)
+        _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
+
+    def test_patch_overflow_flags_bad(self):
+        """More long codes than PATCH_CAP -> affected lanes flagged bad."""
+        L, S = 2, blockspread.PATCH_CAP + 64
+        residuals = np.full((L, S), 1 << 16, np.int32)  # every code long at k=0
+        k = np.zeros(L, np.int32)
+        nvalid = np.full(L, S, np.int32)
+        _, _, _, bad = _pack(residuals, k, nvalid, np.zeros(L, bool))
+        assert bad.all()
+
+    def test_mixed_long_raw_partial(self):
+        """Mixed lane kinds in one batch (the legacy packer's hardest case)."""
+        rng = np.random.default_rng(5)
+        L, S = 4, 450
+        residuals = rng.integers(-500, 500, (L, S)).astype(np.int32)
+        residuals[2, 17] = 1 << 18  # one long code
+        k = np.array([3, 0, 4, 2], np.int32)
+        nvalid = np.array([450, 450, 450, 449], np.int32)
+        is_raw = np.array([False, True, False, False])
+        _check_lanes(residuals, k, nvalid, is_raw)
