@@ -41,10 +41,28 @@ def encode_many_async(
     metadata_list: Optional[Sequence[bytes]] = None,
     analyze: bool = True,
 ) -> BulkFuture:
-    """Lossless bulk encode, dispatched immediately (futures.BulkFuture)."""
+    """Lossless bulk encode, dispatched immediately (futures.BulkFuture).
+
+    The device candidate search is dispatched FIRST; the host analysis pass
+    (waveform/fingerprint/loudness, lib.rs:219-283) then runs while the
+    device computes, and the metadata lands in the container writer at
+    collect time — analysis costs ~no wall time when the device pass is
+    longer."""
+    from .container import writer
+
+    level = min(int(compression_level), 9)
+    fut = _lossless_encoder.encode_many_to_frames_async(
+        samples_list, sample_rate, channels, level, "device"
+    )
     metas = _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze)
-    return _lossless_encoder.encode_many_async(
-        samples_list, sample_rate, channels, bit_depth, compression_level, metas
+    metas = metas or [b""] * len(samples_list)
+    return fut.then(
+        lambda frames_per_file: [
+            writer.write(
+                int(sample_rate), int(channels), int(bit_depth), level, frames, meta
+            )
+            for frames, meta in zip(frames_per_file, metas)
+        ]
     )
 
 
@@ -76,12 +94,27 @@ def encode_lossy_many_async(
     transport_dtype=np.float32,
     analyze: bool = True,
 ) -> BulkFuture:
-    """Lossy bulk encode, dispatched immediately; quality is the u8 preset."""
+    """Lossy bulk encode, dispatched immediately; quality is the u8 preset.
+
+    Device MDCT work is dispatched before the host analysis pass runs (see
+    encode_many_async); metadata lands in the writer at collect time."""
+    from .container import writer
+
     q = QUALITY_U8_TO_F32[min(int(quality), 4)]
+    fut = _lossy_encoder.encode_many_to_frames_async(
+        samples_list, sample_rate, channels, q, transport_dtype
+    )
     metas = _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze)
-    return _lossy_encoder.encode_many_async(
-        samples_list, sample_rate, channels, q, metas,
-        transport_dtype=transport_dtype,
+    metas = metas or [b""] * len(samples_list)
+    q_u8 = min(int(quality), 4)
+    return fut.then(
+        lambda frames_per_file: [
+            writer.write(
+                int(sample_rate), int(channels), 16, 5, frames, meta,
+                lossy=True, lossy_quality=q_u8,
+            )
+            for frames, meta in zip(frames_per_file, metas)
+        ]
     )
 
 

@@ -15,7 +15,7 @@ candidates in ONE jitted program (ops/select.py):
    argmin selection (reference evaluation order raw -> fixed 0..4 ->
    LPC 5..max with strict-< tie-break, encoder.rs:173-217; instability
    rejection max|r| > 1e6, encoder.rs:269-271), winner residual streams,
-   and the Rice/raw WIRE BYTES themselves (ops/ricepack.py) — only
+   and the Rice/raw WIRE BYTES themselves (ops/blockspread.py) — only
    entropy-coded payloads cross the device->host wire.
 4. Host: slice per-lane payloads + container writer.
 
@@ -382,17 +382,26 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
 
 
 def _start_chunk_fetch(st) -> None:
-    """Async-start a chunk's payload-prefix download (the collect fin's
-    phase 1); _collect_chunk finishes it. Idempotent."""
+    """Collect phase 1: download the tiny lane sizes, dispatch the stage-2
+    word assembly at the entropy-sized bucket (ops/blockspread — the sizes
+    are not known at stage-1 dispatch time), and async-start the payload
+    prefix download. Idempotent."""
+    from ..ops import blockspread
+
     if "prefetch" in st:
         return
-    (_, _, _, packed_dev, lane_bytes_d, lane_off_d, *_rest) = st["device_out"]
+    (_, _, _, stage, lane_bytes_d, lane_off_d, *_rest) = st["device_out"]
     lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
     lane_off = np.asarray(lane_off_d).astype(np.int64)
-    total = int(lane_off[-1] + lane_bytes[-1]) if st["L"] else 0
-    st["prefetch"] = (
-        ricepack.fetch_prefix_start(packed_dev, total), total, lane_bytes, lane_off,
-    )
+    # Word-aligned payload span (the last lane's region rounds up to words).
+    total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4) if st["L"] else 0
+    if total:
+        NW = blockspread.bucket_words(total // 4)
+        words = blockspread.pack_stage2(NW=NW, **stage)
+        h = blockspread.fetch_words_start(words, total)
+    else:
+        h = None
+    st["prefetch"] = (h, total, lane_bytes, lane_off)
 
 
 def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
@@ -408,11 +417,13 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
     visible in Examples/white_noise.flo). The default "fixed" types Raw only
     when every channel actually chose the raw-PCM strategy."""
     (
-        sel_d, k_d, size_d, packed_dev, lane_bytes_d, lane_off_d, bad_d,
+        sel_d, k_d, size_d, _stage, lane_bytes_d, lane_off_d, bad_d,
         res_dev, winc_d, wins_d,
     ) = st["device_out"]
     frame_samples = st["frame_samples"]
     Fa, L = st["Fa"], st["L"]
+
+    from ..ops import blockspread
 
     sel = np.asarray(sel_d)
     ks = np.asarray(k_d)
@@ -422,7 +433,7 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
     # sizes; equality is a cheap end-to-end check of the device bit packing.
     if not np.array_equal(lane_bytes, np.asarray(size_d).astype(np.int64)):
         raise AssertionError("device Rice packing size mismatch")
-    pb = ricepack.fetch_prefix_finish(prefix_h, total).tobytes()
+    pb = blockspread.fetch_words_finish(prefix_h, total)
 
     # Exact host re-pack of flagged lanes (q+1+k > 32 somewhere; possible
     # only on pathological spikes — the estimator keeps quotients small).
@@ -536,6 +547,109 @@ def encode_to_frames(
     return encode_many_to_frames(
         [samples], sample_rate, channels, compression_level, "exact", compat
     )[0]
+
+
+def encode_frame_host(
+    samples: np.ndarray, sample_rate: int, channels: int,
+    compression_level: int = 5,
+):
+    """Encode ONE frame's interleaved f32 samples entirely on the host:
+    C++ candidate search (native/encode.cpp) + C++ Rice pack. The per-frame
+    path for streaming encode, where a device round trip per 1 s frame is
+    pure latency (same rationale as decoder.decode_file_host). Returns a
+    Frame, or None when the native toolchain is unavailable (callers fall
+    back to the device path).
+
+    Same candidate plan and selection semantics as the device search
+    (encoder.rs:66-217); coefficients may differ at the f64-ulp level from
+    the numpy Levinson (identical recursion, different libm rounding on some
+    hosts) — round-trips are bit-exact either way, since coefficients are
+    stored in the stream.
+    """
+    from .. import native
+    from ..core import rice_host
+
+    arr = np.asarray(samples, dtype=np.float32).reshape(-1)
+    C = int(channels)
+    n = len(arr) // C
+    if n == 0:
+        return None
+    if (np.abs(arr[: n * C]) < SILENCE_THRESHOLD).all():
+        return Frame(
+            frame_type=int(FrameType.SILENCE),
+            frame_samples=n,
+            channels=[ChannelData.silence() for _ in range(C)],
+        )
+    ints = f32_to_i32_np(arr[: n * C]).reshape(n, C)
+    ch = np.ascontiguousarray(ints.T)  # [C, n]
+
+    mid_side = False
+    if C == 2:
+        l, r = ch[0], ch[1]
+        var_l = np.einsum("s,s->", l, l, dtype=np.float64)
+        var_r = np.einsum("s,s->", r, r, dtype=np.float64)
+        side = l - r
+        var_side = np.einsum("s,s->", side, side, dtype=np.float64)
+        mid_side = bool(var_side < np.floor_divide(var_l + var_r, 2))
+        if mid_side:
+            ch = np.stack([l + r, side])
+
+    kinds, cand_orders, max_order = _candidate_plan(compression_level)
+    use_lpc = any(kd == "lpc" for kd in kinds)
+    out = native.lossless_search_batch(
+        ch, np.full(C, n, np.int64), max_order, use_lpc
+    )
+    if out is None:
+        return None
+    sel_kind, sel_order, ks, coeffs, shifts, sizes, residuals = out
+
+    rice_lanes = np.flatnonzero(sel_kind != 0)
+    blobs = {}
+    if len(rice_lanes):
+        packed = rice_host.encode_batch(
+            residuals[rice_lanes], ks[rice_lanes],
+            np.full(len(rice_lanes), n, np.int64),
+        )
+        blobs = dict(zip(rice_lanes.tolist(), packed))
+
+    chans = []
+    all_raw = True
+    for c in range(C):
+        kd = int(sel_kind[c])
+        if kd == 0:
+            chans.append(
+                ChannelData.raw(residuals[c, :n].astype("<i2").tobytes())
+            )
+        else:
+            all_raw = False
+            if kd == 1:
+                chans.append(
+                    ChannelData(
+                        predictor_coeffs=[],
+                        shift_bits=FIXED_PREDICTOR_MARKER + int(sel_order[c]),
+                        residual_encoding=ResidualEncoding.RICE,
+                        rice_parameter=int(ks[c]),
+                        residuals=blobs[c],
+                    )
+                )
+            else:
+                order = int(sel_order[c])
+                chans.append(
+                    ChannelData(
+                        predictor_coeffs=[int(v) for v in coeffs[c, :order]],
+                        shift_bits=int(shifts[c]),
+                        residual_encoding=ResidualEncoding.RICE,
+                        rice_parameter=int(ks[c]),
+                        residuals=blobs[c],
+                    )
+                )
+    ftype = FrameType.RAW if all_raw else FrameType.from_order(max_order)
+    return Frame(
+        frame_type=int(ftype),
+        frame_samples=n,
+        flags=FRAME_FLAG_MID_SIDE if mid_side else 0,
+        channels=chans,
+    )
 
 
 def encode_many_async(

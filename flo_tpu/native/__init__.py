@@ -5,6 +5,9 @@ the host hot path, implemented in C++ with OpenMP over independent streams:
 
 - rice.cpp     — Rice bitstream pack/unpack (rice.rs equivalent)
 - sparse.cpp   — lossy sparse RLE coefficient coder (encoder.rs:284-329)
+- encode.cpp   — lossless best-of-N candidate search (encoder.rs:173-217 +
+                 lpc.rs), the per-frame path for streaming encode where a
+                 device round trip per 1 s frame cannot amortize
 - analysis.cpp — BLAKE3 (parallel tree), K-weighting biquads, true-peak FIR
                  (analysis.rs / ebu_r128.rs hot loops, for bulk auto-embed)
 
@@ -69,6 +72,13 @@ _SIGNATURES = {
         ],
         "sparse_decode_entries": [
             _u8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i32p
+        ],
+    },
+    "encode": {
+        "lossless_search_batch": [
+            _i32p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            ctypes.c_int32, ctypes.c_int32,
+            _i32p, _i32p, _i32p, _i32p, _i32p, _i64p, _i32p,
         ],
     },
     "analysis": {
@@ -429,3 +439,36 @@ def sparse_decode_entries(blobs, width: int):
             n, width, _ptr(entries, ctypes.c_int32),
         )
     return entries[:total], counts
+
+
+def lossless_search_batch(lanes: np.ndarray, nvalid: np.ndarray,
+                          max_order: int, use_lpc: bool):
+    """C++ per-lane best-of-N candidate search (encoder.rs:173-217 + lpc.rs).
+
+    lanes: [L, S] int32 (mid/side domain); nvalid: [L] int64. Returns
+    (sel_kind [L] 0=raw/1=fixed/2=lpc, sel_order, k, coeffs [L,12], shift,
+    size_bytes [L] i64, residuals [L, S] i32) or None without a toolchain.
+    """
+    lib = _load("encode")
+    if lib is None:
+        return None
+    lanes = np.ascontiguousarray(lanes, dtype=np.int32)
+    L, S = lanes.shape
+    nvalid = np.ascontiguousarray(nvalid, dtype=np.int64)
+    sel_kind = np.zeros(L, np.int32)
+    sel_order = np.zeros(L, np.int32)
+    k = np.zeros(L, np.int32)
+    coeffs = np.zeros((L, 12), np.int32)
+    shift = np.zeros(L, np.int32)
+    size = np.zeros(L, np.int64)
+    residuals = np.zeros((L, S), np.int32)
+    if L:
+        lib.lossless_search_batch(
+            _ptr(lanes, ctypes.c_int32), L, S, _ptr(nvalid, ctypes.c_int64),
+            int(max_order), int(bool(use_lpc)),
+            _ptr(sel_kind, ctypes.c_int32), _ptr(sel_order, ctypes.c_int32),
+            _ptr(k, ctypes.c_int32), _ptr(coeffs, ctypes.c_int32),
+            _ptr(shift, ctypes.c_int32), _ptr(size, ctypes.c_int64),
+            _ptr(residuals, ctypes.c_int32),
+        )
+    return sel_kind, sel_order, k, coeffs, shift, size, residuals

@@ -55,11 +55,19 @@ class StreamingEncoder:
         self._try_encode_frames()
 
     def _encode_one(self, chunk: np.ndarray) -> EncodedFrame:
-        frames = lossless_encoder.encode_to_frames(
+        # Per-frame encodes cannot amortize a device round trip; run the
+        # C++ host search (native/encode.cpp) and fall back to the device
+        # path without a toolchain — same split as StreamingDecoder.
+        frame = lossless_encoder.encode_frame_host(
             chunk, self.sample_rate, self.channels, self.compression_level
         )
-        assert len(frames) == 1
-        data = writer.serialize_frame(frames[0])
+        if frame is None:
+            frames = lossless_encoder.encode_to_frames(
+                chunk, self.sample_rate, self.channels, self.compression_level
+            )
+            assert len(frames) == 1
+            frame = frames[0]
+        data = writer.serialize_frame(frame)
         n = len(chunk) // self.channels
         ts = int(self._total_samples / self.sample_rate * 1000.0)
         ef = EncodedFrame(index=self._frame_index, timestamp_ms=ts, data=data, samples=n)

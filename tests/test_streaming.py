@@ -144,6 +144,41 @@ class TestStreamingEncoder:
         data_stream = enc.finalize()
         np.testing.assert_array_equal(flo_tpu.decode(data_stream), flo_tpu.decode(data_std))
 
+    def test_host_frame_encoder_matches_device_path(self):
+        """encode_frame_host (C++ search) vs the device candidate search:
+        identical frame bytes on this host (same f64 Levinson recursion and
+        libm), bit-exact round-trip regardless."""
+        from flo_tpu.container import writer
+        from flo_tpu.lossless import decoder as lld
+        from flo_tpu.lossless.encoder import encode_frame_host, encode_to_frames
+
+        rng = np.random.default_rng(3)
+        rate = 3000
+        for C, gen in (
+            (1, lambda n: 0.5 * np.sin(np.arange(n) * 0.05)),
+            (2, lambda n: 0.4 * np.sin(np.arange(n * 2) * 0.03)
+                + 0.02 * rng.standard_normal(n * 2)),
+            (2, lambda n: np.clip(rng.standard_normal(n * 2), -1, 1)),  # raw-ish
+        ):
+            s = gen(rate).astype(np.float32)
+            frame = encode_frame_host(s, rate, C, 5)
+            if frame is None:
+                pytest.skip("native toolchain unavailable")
+            dev = encode_to_frames(s, rate, C, 5)
+            assert len(dev) == 1
+            assert writer.serialize_frame(frame) == writer.serialize_frame(dev[0])
+            data = writer.write(rate, C, 16, 5, [frame], b"")
+            out = lld.decode(data)
+            assert np.abs(out - s[: len(out)]).max() <= 1 / 32768 + 1e-6
+
+    def test_host_frame_encoder_silence(self):
+        from flo_tpu.lossless.encoder import encode_frame_host
+
+        frame = encode_frame_host(np.zeros(2000, np.float32), 1000, 2, 5)
+        if frame is None:
+            pytest.skip("native toolchain unavailable")
+        assert frame.frame_type == 0  # Silence
+
     def test_next_frame_drain(self):
         rate = 1000
         s = sine(50, rate, 3.0)
