@@ -1,12 +1,19 @@
 """Audio file ingest/egress (the reflo/src/audio.rs equivalent).
 
 The reference wraps Symphonia for MP3/WAV/FLAC/OGG/AAC input; this
-environment has no audio-codec libraries, so ingest supports the formats
-decodable from spec: WAV (PCM u8/i16/i24/i32 and IEEE float32/64), AIFF /
-AIFF-C (vendored parser — the stdlib `aifc` module is gone in Python 3.13),
-and FLAC (flo_tpu.flac, built on this codebase's own LPC/Rice machinery).
-MP3/OGG/AAC raise a clear error: they need patent-encumbered DSP codecs
-with no from-spec path of reasonable size.
+environment has no audio-codec libraries, so ingest implements the formats
+decodable FAITHFULLY from their specifications offline: WAV (PCM
+u8/i16/i24/i32 and IEEE float32/64), AIFF / AIFF-C (vendored parser — the
+stdlib `aifc` module is gone in Python 3.13), FLAC (flo_tpu.flac, built on
+this codebase's own LPC/Rice machinery), and Ogg Vorbis (flo_tpu.vorbis —
+Vorbis is self-describing, so no fixed tables need transcribing).
+
+MP3 and AAC raise a clear error. Not for patent reasons (MP3's patents
+expired in 2017): both formats depend on large normative constant tables
+(layer-III Huffman code tables, the 512-tap synthesis window, AAC
+codebooks) that cannot be reproduced faithfully in this offline
+environment, and an unfaithful decoder would silently corrupt audio.
+
 WAV output matches the reference's 32-bit-float writer
 (reflo/src/audio.rs:284-320) byte-for-byte.
 """
@@ -209,10 +216,16 @@ def read_audio_from_bytes(data: bytes):
 
         d = flac.decode(data)
         return d.samples, d.sample_rate, d.channels, d.metadata
-    if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
-        raise UnsupportedFormatError("MP3 input requires an external decoder (not available)")
     if data[:4] == b"OggS":
-        raise UnsupportedFormatError("OGG input requires an external decoder (not available)")
+        from . import vorbis
+
+        d = vorbis.decode(data)
+        return d.samples, d.sample_rate, d.channels, d.metadata
+    if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
+        raise UnsupportedFormatError(
+            "MP3 input is not supported: its normative Huffman/synthesis "
+            "tables cannot be reproduced faithfully offline"
+        )
     raise UnsupportedFormatError("unrecognized audio format")
 
 

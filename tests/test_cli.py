@@ -137,6 +137,29 @@ class TestCli:
         dec, r2, c2, _ = audio_io.read_audio_from_bytes(wav2.read_bytes())
         assert np.abs(dec - s).max() <= 1 / 32768 + 1e-6
 
+    def test_encode_ogg_input(self, tmp_path, capsys):
+        """`flo encode in.ogg out.flo` — the reference CLI's foreign-format
+        headline flow (reflo/src/main.rs:218-290) with Vorbis input."""
+        from tests.vorbis_writer import make_stream
+
+        data, expected = make_stream(n=512, channels=2, frames=10, seed=5)
+        # Lattice vectors can exceed full scale; scale into [-1, 1] territory
+        # is not needed for encode (f32_to_i32 clamps), decode still matches
+        # the clamped signal.
+        ogg = tmp_path / "in.ogg"
+        ogg.write_bytes(data)
+        flo = tmp_path / "out.flo"
+        assert cli.main(["encode", str(ogg), str(flo)]) == 0
+        capsys.readouterr()
+        assert cli.main(["info", str(flo)]) == 0
+        out = capsys.readouterr().out
+        assert "8000" in out
+        from flo_tpu.lossless import decoder as lld
+
+        dec = lld.decode(flo.read_bytes()).reshape(-1, 2).T
+        clamped = np.clip(expected, -32768 / 32767, 1.0)
+        assert np.abs(dec - clamped).max() <= 1 / 32768 + 2e-5
+
     def test_lossy_quality_flag(self, wav_file, tmp_path, capsys):
         p, s, rate = wav_file
         flo = tmp_path / "l.flo"
