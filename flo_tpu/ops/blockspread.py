@@ -55,6 +55,9 @@ ROWW = 34
 #: Static cap on patched codes (>32-bit or overflow-wi) per pack call.
 PATCH_CAP = 16384
 
+#: Static cap on BLOCKS containing patched codes (first compaction level).
+PATCH_BLOCKS = 4096
+
 #: Max words a patched code can span: ceil((255+1+15)/32) + straddle.
 PATCH_WORDS = 10
 
@@ -175,20 +178,52 @@ def pack_stage1(residuals, k, nvalid, is_raw):
     db = bidx - jnp.concatenate([jnp.zeros(1, jnp.int32), bidx[:-1]])
     dw = W0_flat - jnp.concatenate([jnp.zeros(1, jnp.int32), W0_flat[:-1]])
 
-    # Compacted patch list (>32-bit codes and overflow-wi codes).
-    flat_patch = is_patch.reshape(-1)
-    n_patch = jnp.sum(flat_patch, dtype=jnp.int32)
-    idx = jnp.nonzero(flat_patch, size=PATCH_CAP, fill_value=L * Sp)[0]
-    live_c = jnp.arange(PATCH_CAP, dtype=jnp.int32) < jnp.minimum(n_patch, PATCH_CAP)
-    take = lambda arr2d: arr2d.reshape(-1)[jnp.minimum(idx, L * Sp - 1)]
+    # Compacted patch list (>32-bit codes and overflow-wi codes). Patches are
+    # rare, so compact in two levels with cumsum-rank + tiny scatters — a
+    # flat jnp.nonzero over L*Sp codes lowers to a full device sort
+    # (~100 ms at this geometry; tools/stage1_decompose.py).
     qp = jnp.pad(q, ((0, 0), (0, pad))) if pad else q
     up = jnp.pad(u_rice, ((0, 0), (0, pad))) if pad else u_rice
-    p_s = take(abs_start)
-    p_clen = take(clen_p)
-    p_q = take(qp)
-    p_u = take(up)
+    patch_b = is_patch.reshape(NBLK, BLKC)
+    blk_has = jnp.any(patch_b, axis=1)
+    n_pblk = jnp.sum(blk_has, dtype=jnp.int32)
+    brank = jnp.cumsum(blk_has.astype(jnp.int32)) - 1
+    bdest = jnp.where(blk_has, brank, PATCH_BLOCKS)
+    bidx_sel = (
+        jnp.full((PATCH_BLOCKS,), NBLK, jnp.int32)
+        .at[bdest]
+        .set(jnp.arange(NBLK, dtype=jnp.int32), mode="drop",
+             indices_are_sorted=True)
+    )
+    grab = jnp.minimum(bidx_sel, NBLK - 1)
 
-    bad = jnp.any(is_patch.reshape(L, Sp), axis=1) & (n_patch > PATCH_CAP)
+    def gather_blocks(arr2d):  # [L, Sp] -> [PATCH_BLOCKS, BLKC]
+        return arr2d.reshape(NBLK, BLKC)[grab]
+
+    g_flag = gather_blocks(is_patch) & (bidx_sel < NBLK)[:, None]
+    g_s = gather_blocks(abs_start).reshape(-1)
+    g_clen = gather_blocks(clen_p).reshape(-1)
+    g_q = gather_blocks(qp).reshape(-1)
+    g_u = gather_blocks(up).reshape(-1)
+    gf = g_flag.reshape(-1)
+
+    n_patch = jnp.sum(patch_b, dtype=jnp.int32)
+    crank = jnp.cumsum(gf.astype(jnp.int32)) - 1
+    cdest = jnp.where(gf, crank, PATCH_CAP)
+    put = lambda src: (
+        jnp.zeros((PATCH_CAP,), src.dtype)
+        .at[cdest]
+        .set(src, mode="drop", indices_are_sorted=True)
+    )
+    p_s = put(g_s)
+    p_clen = put(g_clen)
+    p_q = put(g_q)
+    p_u = put(g_u)
+    live_c = jnp.arange(PATCH_CAP, dtype=jnp.int32) < jnp.minimum(n_patch, PATCH_CAP)
+
+    bad = jnp.any(is_patch.reshape(L, Sp), axis=1) & (
+        (n_patch > PATCH_CAP) | (n_pblk > PATCH_BLOCKS)
+    )
 
     stage = {
         "rows": rows,

@@ -79,17 +79,34 @@ def main():
     dt1 = (time.time() - t0) / 5
     print(f"stage1 hot {dt1*1e3:8.1f} ms -> {audio_sec/dt1:7.0f} au-s/s", flush=True)
 
-    # Pipelined throughput: dispatch next pass before forcing the previous
-    # (how the chunked production pipeline actually runs).
-    w_prev, _ = select_and_pack()
-    t0 = time.time()
+    # 2-deep pipelined steady state: the next chunk's stage 1 is dispatched
+    # BEFORE this chunk's size download, so the device never idles during
+    # the inter-phase round trip — exactly how _start_chunk_fetch's phase-1
+    # loop overlaps chunks in the production bulk pipeline.
+    def finish_pack(out):
+        stage, lane_bytes_d, lane_off_d = out[3], out[4], out[5]
+        lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+        lane_off = np.asarray(lane_off_d).astype(np.int64)
+        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
+        NW = blockspread.bucket_words(total // 4)
+        return blockspread.pack_stage2(NW=NW, **stage)
+
+    def s1():
+        return encode_select_device(pcm_dev, nv_dev, kinds, orders)
+
+    states = [s1()]
+    prev_words = None
     reps = 6
+    t0 = time.time()
     for _ in range(reps):
-        w_next, _ = select_and_pack()
-        _force(w_prev)
-        w_prev = w_next
+        states.append(s1())
+        words = finish_pack(states.pop(0))
+        if prev_words is not None:
+            _force(prev_words)
+        prev_words = words
+    _force(prev_words)
     dt = (time.time() - t0) / reps
-    print(f"pipelined    {dt*1e3:8.1f} ms -> {audio_sec/dt:7.0f} au-s/s", flush=True)
+    print(f"pipelined2   {dt*1e3:8.1f} ms -> {audio_sec/dt:7.0f} au-s/s", flush=True)
 
 
 if __name__ == "__main__":

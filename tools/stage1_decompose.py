@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Decompose pack_stage1's device time (TPU)."""
+"""Decompose pack_stage1's device time via dead-code-elimination variants.
+
+Requesting only a subset of stage-1 outputs lets XLA DCE the rest:
+  sizes_only   clen/pattern + cumsums + lane sizes   (no spread, no patch)
+  rows_only    + block spread + straddle move        (no patch compaction)
+  full         everything (incl. the patch nonzero)
+"""
 
 import pathlib
 import sys
@@ -14,7 +20,6 @@ L, S = 240, 44100
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -41,61 +46,29 @@ def main():
     def timeit(name, fn, reps=5):
         t0 = time.time()
         _force(fn())
-        print(f"{name:16s} compile+run {time.time()-t0:7.1f} s", flush=True)
+        print(f"{name:12s} compile+run {time.time()-t0:7.1f} s", flush=True)
         t0 = time.time()
         for _ in range(reps):
             _force(fn())
-        print(f"{name:16s} hot {(time.time()-t0)/reps*1e3:8.1f} ms", flush=True)
-
-    timeit("stage1_full", lambda: jax.jit(bs.pack_stage1)(r_d, k_d, nv_d, raw_d))
-
-    # Variant: stop after clen/pattern + cumsums (no spread/move/patch).
-    import functools
-
-    BLKC, ROWW = bs.BLKC, bs.ROWW
+        print(f"{name:12s} hot {(time.time()-t0)/reps*1e3:8.1f} ms", flush=True)
 
     @jax.jit
-    def upto_cumsum(residuals, k, nvalid, is_raw):
-        Ll, Sl = residuals.shape
-        NBL = -(-Sl // BLKC)
-        Sp = NBL * BLKC
-        kcol = k[:, None]
-        ku = kcol.astype(jnp.uint32)
-        u = bs._zigzag_u32(residuals)
-        q = jnp.minimum(u >> ku, jnp.uint32(255)).astype(jnp.int32)
-        valid = jnp.arange(Sl, dtype=jnp.int32)[None, :] < nvalid[:, None]
-        clen = jnp.where(is_raw[:, None], 16, q + 1 + kcol)
-        clen = jnp.where(valid, clen, 0)
-        pad = Sp - Sl
-        clen_p = jnp.pad(clen, ((0, 0), (0, pad))) if pad else clen
-        cb = clen_p.reshape(Ll, NBL, BLKC)
-        blk_bits = jnp.sum(cb, axis=2)
-        blk_off = jnp.cumsum(blk_bits, axis=1) - blk_bits
-        within = (
-            blk_off[:, :, None]
-            + bs._exclusive_block_cumsum(cb.reshape(-1, BLKC)).reshape(Ll, NBL, BLKC)
-        ).reshape(Ll, Sp)
-        return within, blk_bits
+    def sizes_only(r, kk, nv, raw):
+        _, lane_bytes, lane_off, _ = bs.pack_stage1(r, kk, nv, raw)
+        return lane_bytes, lane_off
 
-    timeit("upto_cumsum", lambda: upto_cumsum(r_d, k_d, nv_d, raw_d))
-
-    # Variant: everything except the patch-list nonzero/compaction.
     @jax.jit
-    def no_patch(residuals, k, nvalid, is_raw):
-        stage, lane_bytes, lane_off, bad = _stage1_no_patch(residuals, k, nvalid, is_raw)
-        return stage["rows"], lane_bytes
+    def rows_only(r, kk, nv, raw):
+        stage, lane_bytes, _, _ = bs.pack_stage1(r, kk, nv, raw)
+        return stage["rows"], stage["W0_pos"], stage["db"], stage["dw"], lane_bytes
 
-    def _stage1_no_patch(residuals, k, nvalid, is_raw):
-        import flo_tpu.ops.blockspread as B
-        orig = jnp.nonzero
-        # crude: monkeypatching inside trace is fragile; instead replicate by
-        # calling pack_stage1 and relying on XLA DCE when outputs unused.
-        stage, lb, lo, bad = B.pack_stage1(residuals, k, nvalid, is_raw)
-        return stage, lb, lo, bad
+    @jax.jit
+    def full(r, kk, nv, raw):
+        return bs.pack_stage1(r, kk, nv, raw)
 
-    # DCE check: request only rows + lane_bytes (XLA dead-code-eliminates the
-    # nonzero if it's not needed).
-    timeit("rows_only(DCE)", lambda: no_patch(r_d, k_d, nv_d, raw_d))
+    timeit("sizes_only", lambda: sizes_only(r_d, k_d, nv_d, raw_d))
+    timeit("rows_only", lambda: rows_only(r_d, k_d, nv_d, raw_d))
+    timeit("full", lambda: full(r_d, k_d, nv_d, raw_d))
 
 
 if __name__ == "__main__":
