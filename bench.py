@@ -269,13 +269,39 @@ def main() -> None:
             _force(out)
         return (time.time() - t0) / reps
 
+    def _time_two_phase(dispatch, finish, reps=5):
+        """Steady-state seconds/pass of a two-phase device pass, 2-deep
+        pipelined: the next pass's phase 1 is dispatched before this pass's
+        tiny size download, so the device never idles during the inter-phase
+        round trip — the same overlap the chunked production pipelines get
+        from _start_chunk_fetch's phase-1 loop. Also returns the single-shot
+        latency."""
+        t0 = time.time()
+        _force(finish(dispatch()))  # compile both phases
+        t_compile = time.time() - t0
+        t0 = time.time()
+        _force(finish(dispatch()))
+        latency = time.time() - t0
+        states = [dispatch()]
+        prev = None
+        t0 = time.time()
+        for _ in range(reps):
+            states.append(dispatch())
+            w = finish(states.pop(0))
+            if prev is not None:
+                _force(prev)
+            prev = w
+        _force(prev)
+        return (time.time() - t0) / reps, latency
+
     from flo_tpu.ops import blockspread
 
-    def select_and_pack():
-        """The production two-phase device pass: fused search + block spread
-        (stage 1), tiny size download, entropy-bucketed word assembly
-        (stage 2) — the same flow _start_chunk_fetch runs per chunk."""
-        out = encode_select_device(pcm_dev, nv_dev, kinds, orders)
+    def dk_dispatch():
+        return encode_select_device(pcm_dev, nv_dev, kinds, orders)
+
+    def dk_finish(out):
+        """Phase 2 of the production pass: tiny size download, then the
+        entropy-bucketed word assembly — the flow _start_chunk_fetch runs."""
         stage, lane_bytes_d, lane_off_d = out[3], out[4], out[5]
         lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
         lane_off = np.asarray(lane_off_d).astype(np.int64)
@@ -283,11 +309,14 @@ def main() -> None:
         NW = blockspread.bucket_words(total // 4)
         return blockspread.pack_stage2(NW=NW, **stage)
 
-    dt = _time_device(select_and_pack)
+    dt, lat = _time_two_phase(dk_dispatch, dk_finish)
     configs["device_kernels"] = {
         "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
+        "latency_ms": round(lat * 1e3, 1),
         "note": "lossless candidate search + device Rice pack (two-phase "
-                "block-spread), device-resident I/O",
+                "block-spread), device-resident I/O, 2-deep pipelined "
+                "steady state (the production chunk overlap); latency_ms = "
+                "single-shot",
     }
 
     # Decode-side device kernels: block-packed residual unpack + the Pallas
@@ -318,6 +347,8 @@ def main() -> None:
     from flo_tpu.lossy.encoder import _encode_padded_compact, _file_padded, HOP
     from flo_tpu.lossy.encoder import smr_threshold as _thr
 
+    from flo_tpu.ops import compact as _compact
+
     pf = [_file_padded(c, CHANNELS) for c in bclips]
     t_max_b = max(nh for _, nh in pf)
     stackb = np.zeros((BREADTH_FILES * CHANNELS, (t_max_b + 1) * HOP), np.float32)
@@ -325,10 +356,23 @@ def main() -> None:
         stackb[i * CHANNELS : (i + 1) * CHANNELS, : padded.shape[1]] = padded
     stackb_dev = jax.device_put(stackb)
     thrq = np.float32(_thr(q_med))
-    dt = _time_device(lambda: _encode_padded_compact(stackb_dev, RATE, thrq))
+
+    def dm_dispatch():
+        return _encode_padded_compact(stackb_dev, RATE, thrq)
+
+    def dm_finish(out):
+        comp_d, blk_nnz_d, row_nnz_d, _sf = out
+        total = int(np.asarray(row_nnz_d).sum())
+        return _compact.assemble_entries(
+            comp_d, blk_nnz_d, NE=_compact.bucket_entries(total)
+        )
+
+    dt, lat = _time_two_phase(dm_dispatch, dm_finish)
     configs["device_mdct"] = {
         "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
-        "note": "lossy MDCT+psy+quantize+compact, device-resident I/O",
+        "latency_ms": round(lat * 1e3, 1),
+        "note": "lossy MDCT+psy+quantize+compact (two-phase), "
+                "device-resident I/O, 2-deep pipelined steady state",
     }
 
     # Streaming encode (host C++ candidate search, frame-at-a-time —

@@ -31,7 +31,7 @@ reference decoder handles correctly (decoder.rs:92-148).
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -543,10 +543,43 @@ def encode_to_frames(
     compression_level: int = 5,
     compat: str = "fixed",
 ) -> List[Frame]:
-    """Encode interleaved f32 samples into a list of container frames."""
+    """Encode interleaved f32 samples into a list of container frames.
+
+    Single-file encodes (the CLI's hot path) run on the HOST via the C++
+    candidate search when f32 input and default compat allow — a lone file
+    cannot amortize device round trips, and the host path also skips the
+    JAX backend handshake entirely. compat="reference-bugs" (byte-exact
+    reference conformance) and integer-domain ingest keep the exact
+    device/bulk path."""
+    arr = np.asarray(samples)
+    if compat == "fixed" and not np.issubdtype(arr.dtype, np.integer):
+        frames = _encode_frames_host_file(
+            arr, sample_rate, channels, compression_level
+        )
+        if frames is not None:
+            return frames
     return encode_many_to_frames(
         [samples], sample_rate, channels, compression_level, "exact", compat
     )[0]
+
+
+def _encode_frames_host_file(
+    samples: np.ndarray, sample_rate: int, channels: int, compression_level: int
+) -> Optional[List[Frame]]:
+    """Whole-file host encode: one encode_frame_host call per 1 s frame.
+    Returns None when the native toolchain is unavailable."""
+    arr = np.asarray(samples, dtype=np.float32).reshape(-1)
+    C = int(channels)
+    spf = int(sample_rate)
+    total = len(arr) // C
+    frames: List[Frame] = []
+    for start in range(0, total, spf):
+        chunk = arr[start * C : min(start + spf, total) * C]
+        f = encode_frame_host(chunk, sample_rate, C, compression_level)
+        if f is None:
+            return None
+        frames.append(f)
+    return frames
 
 
 def encode_frame_host(
