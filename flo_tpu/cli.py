@@ -416,7 +416,22 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="Validate a flo™ file")
     v.add_argument("input")
     v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser(
+        "serve",
+        help="Run the HTTP codec service (the WASM/JS API's serving analog)",
+    )
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8080)
+    s.set_defaults(fn=cmd_serve)
     return p
+
+
+def cmd_serve(args) -> int:
+    from .service import serve
+
+    serve(args.host, args.port)
+    return 0
 
 
 def main(argv=None) -> int:

@@ -1,0 +1,295 @@
+"""HTTP serving surface: the deployment analog of the reference's WASM/JS API.
+
+The reference ships its codec to browsers as wasm-bindgen exports
+(libflo/src/lib.rs:544-812, reflo/src/wasm.rs, Docs/javascript-api.md). A
+TPU-native build is a server-side system, so the equivalent surface is a
+small HTTP service exposing the same function set over JSON/binary — every
+Core/Metadata function of Docs/javascript-api.md has an endpoint, and the
+CLI grows a `flo serve` subcommand to run it.
+
+Endpoints (POST body = binary unless noted):
+
+  GET  /v1/version                      {"version": "1.2"}
+  POST /v1/encode?sample_rate&channels[&level]       raw f32 LE -> flo
+  POST /v1/encode_lossy?sample_rate&channels[&quality]   (quality u8 0-4)
+  POST /v1/encode_with_bitrate?sample_rate&channels&bitrate_kbps
+  POST /v1/encode_file[?level|quality|bitrate_kbps]  WAV/FLAC/OGG/AIFF -> flo
+  POST /v1/decode                       flo -> raw f32 LE
+                                        (X-Sample-Rate / X-Channels headers)
+  POST /v1/decode_wav                   flo -> 32-bit float WAV
+  POST /v1/info                         flo -> AudioInfo JSON
+  POST /v1/validate                     flo -> {"valid": bool}
+  POST /v1/metadata                     flo -> metadata JSON
+  POST /v1/cover_art                    flo -> image bytes (mime in header)
+  POST /v1/synced_lyrics                flo -> lyrics JSON
+  POST /v1/metadata/update              [u32 LE flo_len][flo][metadata JSON]
+                                        -> flo (zero-copy splice)
+  POST /v1/metadata/strip               flo -> flo
+  POST /v1/seek?time_ms=N               flo -> SeekResult JSON
+  POST /v1/analysis[?waveform=1][&spectrum=1]  flo -> analysis JSON
+
+Codec calls are serialized behind one lock (a remote-attached accelerator
+link is single-client); the HTTP layer itself is stdlib ThreadingHTTPServer,
+so health probes and small requests never queue behind a bulk encode.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_CODEC_LOCK = threading.Lock()
+
+
+class ServiceError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _meta_to_json(meta) -> dict:
+    """FloMetadata -> plain-JSON dict (bytes fields sized, not inlined)."""
+    from dataclasses import fields
+
+    out = {}
+    for f in fields(meta):
+        v = getattr(meta, f.name)
+        if v is None or v == [] or v == {}:
+            continue
+        if isinstance(v, (bytes, bytearray)):
+            out[f.name] = {"bytes": len(v)}
+        elif isinstance(v, (str, int, float, bool)):
+            out[f.name] = v
+        else:
+            out[f.name] = json.loads(json.dumps(v, default=_jsonable))
+    return out
+
+
+def _jsonable(v):
+    if isinstance(v, (bytes, bytearray)):
+        return {"bytes": len(v)}
+    if hasattr(v, "__dict__"):
+        return {k: _jsonable(x) if not isinstance(x, (str, int, float, bool, type(None))) else x
+                for k, x in vars(v).items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return str(v)
+
+
+def _handle(path: str, query: dict, body: bytes):
+    """Dispatch one request -> (status, content_type, payload, extra_headers)."""
+    import flo_tpu
+    from . import audio_io, reflo, seeking
+    from .lossy.presets import QUALITY_U8_TO_F32
+
+    def q1(name, default=None, cast=int):
+        vals = query.get(name)
+        if not vals:
+            if default is None:
+                raise ServiceError(400, f"missing query parameter {name!r}")
+            return default
+        return cast(vals[0])
+
+    if path == "/v1/version":
+        return 200, "application/json", json.dumps({"version": flo_tpu.version()}).encode(), {}
+
+    if path == "/v1/encode":
+        samples = np.frombuffer(body, dtype="<f4")
+        data = flo_tpu.encode(
+            samples, q1("sample_rate"), q1("channels"),
+            compression_level=q1("level", 5), analyze=True,
+        )
+        return 200, "application/octet-stream", data, {}
+
+    if path == "/v1/encode_lossy":
+        samples = np.frombuffer(body, dtype="<f4")
+        data = flo_tpu.encode_lossy(
+            samples, q1("sample_rate"), q1("channels"), quality=q1("quality", 2)
+        )
+        return 200, "application/octet-stream", data, {}
+
+    if path == "/v1/encode_with_bitrate":
+        samples = np.frombuffer(body, dtype="<f4")
+        data = flo_tpu.encode_with_bitrate(
+            samples, q1("sample_rate"), q1("channels"), q1("bitrate_kbps")
+        )
+        return 200, "application/octet-stream", data, {}
+
+    if path == "/v1/encode_file":
+        if "quality" in query:
+            opts = reflo.EncodeOptions.lossy(QUALITY_U8_TO_F32[min(q1("quality"), 4)])
+        elif "bitrate_kbps" in query:
+            opts = reflo.EncodeOptions.lossy_bitrate(q1("bitrate_kbps"))
+        else:
+            opts = reflo.EncodeOptions.lossless().with_level(q1("level", 5))
+        data = reflo.encode_from_audio(body, opts)
+        return 200, "application/octet-stream", data, {}
+
+    if path == "/v1/decode":
+        samples, rate, channels = reflo.decode_to_samples(body)
+        return 200, "application/octet-stream", np.asarray(samples, "<f4").tobytes(), {
+            "X-Sample-Rate": str(rate), "X-Channels": str(channels),
+        }
+
+    if path == "/v1/decode_wav":
+        return 200, "audio/wav", reflo.decode_to_wav(body), {}
+
+    if path == "/v1/info":
+        info = flo_tpu.info(body)
+        return 200, "application/json", json.dumps(
+            {k: v for k, v in vars(info).items()}
+        ).encode(), {}
+
+    if path == "/v1/validate":
+        return 200, "application/json", json.dumps(
+            {"valid": bool(flo_tpu.validate(body))}
+        ).encode(), {}
+
+    if path == "/v1/metadata":
+        meta = reflo.get_metadata(body)
+        out = _meta_to_json(meta) if meta is not None else {}
+        return 200, "application/json", json.dumps(out).encode(), {}
+
+    if path == "/v1/cover_art":
+        meta = reflo.get_metadata(body)
+        if meta is None or not meta.pictures:
+            raise ServiceError(404, "no cover art")
+        pic = meta.pictures[0]
+        return 200, pic.mime_type or "application/octet-stream", bytes(pic.data), {}
+
+    if path == "/v1/synced_lyrics":
+        meta = reflo.get_metadata(body)
+        if meta is None:
+            return 200, "application/json", b"[]", {}
+        out = [
+            {"language": s.language, "description": s.description,
+             "lines": [{"timestamp_ms": l.timestamp_ms, "text": l.text}
+                       for l in s.lines]}
+            for s in (meta.synced_lyrics or [])
+        ]
+        return 200, "application/json", json.dumps(out).encode(), {}
+
+    if path == "/v1/metadata/update":
+        if len(body) < 4:
+            raise ServiceError(400, "framed body required")
+        (flen,) = struct.unpack_from("<I", body, 0)
+        flo_bytes = body[4 : 4 + flen]
+        patch = json.loads(body[4 + flen :].decode() or "{}")
+        from .core.metadata import FloMetadata
+
+        try:
+            meta = flo_tpu.get_metadata(flo_bytes)
+        except Exception:
+            meta = FloMetadata()
+        for k, v in patch.items():
+            if hasattr(meta, k):
+                setattr(meta, k, v)
+        return 200, "application/octet-stream", flo_tpu.update_metadata(
+            flo_bytes, meta
+        ), {}
+
+    if path == "/v1/metadata/strip":
+        return 200, "application/octet-stream", flo_tpu.strip_metadata(body), {}
+
+    if path == "/v1/seek":
+        res = seeking.seek_to_time(body, q1("time_ms"))
+        return 200, "application/json", json.dumps(vars(res)).encode(), {}
+
+    if path == "/v1/analysis":
+        from .core import analysis as _an
+        from .core import ebu_r128
+
+        samples, rate, channels = reflo.decode_to_samples(body)
+        arr = np.asarray(samples, np.float32)
+        out: dict = {
+            "sample_rate": rate,
+            "channels": channels,
+            "duration_secs": len(arr) / max(channels, 1) / rate,
+        }
+        m = ebu_r128.compute_ebu_r128_loudness(arr, channels, rate)
+        out["loudness"] = {
+            "integrated_lufs": m.integrated_lufs,
+            "loudness_range_lu": m.loudness_range_lu,
+            "true_peak_dbtp": m.true_peak_dbtp,
+            "sample_peak_dbfs": m.sample_peak_dbfs,
+        }
+        if q1("waveform", 0):
+            wf = _an.extract_waveform_peaks(arr, channels, rate)
+            out["waveform"] = {"peaks_per_second": wf.peaks_per_second,
+                               "peaks": wf.peaks[:2000]}
+        if q1("spectrum", 0):
+            fp = _an.extract_spectral_fingerprint(arr, channels, rate)
+            out["spectrum"] = {
+                "hash": bytes(fp.hash).hex(),
+                "energy_profile": list(fp.energy_profile),
+                "frequency_peaks": list(fp.frequency_peaks),
+                "avg_loudness": fp.avg_loudness,
+            }
+        return 200, "application/json", json.dumps(out).encode(), {}
+
+    raise ServiceError(404, f"unknown endpoint {path}")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "flo_tpu"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _respond(self, status, ctype, payload, extra):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        for k, v in extra.items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_GET(self):
+        self._do()
+
+    def do_POST(self):
+        self._do()
+
+    def _do(self):
+        try:
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n) if n else b""
+            u = urlparse(self.path)
+            with _CODEC_LOCK:
+                status, ctype, payload, extra = _handle(
+                    u.path, parse_qs(u.query), body
+                )
+            self._respond(status, ctype, payload, extra)
+        except ServiceError as e:
+            self._respond(
+                e.status, "application/json",
+                json.dumps({"error": e.message}).encode(), {},
+            )
+        except Exception as e:  # noqa: BLE001 — service boundary
+            self._respond(
+                500, "application/json",
+                json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(), {},
+            )
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (without starting) the HTTP server; .server_address has the
+    bound port when port=0."""
+    return ThreadingHTTPServer((host, port), _Handler)
+
+
+def serve(host: str = "0.0.0.0", port: int = 8080, verbose: bool = True) -> None:
+    srv = make_server(host, port)
+    srv.verbose = verbose
+    if verbose:
+        print(f"flo service listening on {host}:{srv.server_address[1]}")
+    srv.serve_forever()

@@ -1,0 +1,149 @@
+"""HTTP service surface (the WASM/JS API analog, Docs/javascript-api.md)."""
+
+import json
+import struct
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import flo_tpu
+from flo_tpu import service
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    srv = service.make_server("127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, path, body=b"", headers=None):
+    req = urllib.request.Request(url + path, data=body, method="POST")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    with urllib.request.urlopen(req) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path) as r:
+        return r.status, r.read()
+
+
+def sine(freq, rate, secs, channels=1):
+    t = np.arange(int(rate * secs)) / rate
+    s = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    if channels == 2:
+        s = np.stack([s, s], 1).reshape(-1)
+    return s
+
+
+class TestService:
+    def test_version(self, server_url):
+        status, body = _get(server_url, "/v1/version")
+        assert status == 200 and json.loads(body) == {"version": "1.2"}
+
+    def test_encode_decode_roundtrip(self, server_url):
+        s = sine(220, 4000, 1.0, channels=2)
+        _, _, flo = _post(
+            server_url, "/v1/encode?sample_rate=4000&channels=2",
+            s.astype("<f4").tobytes(),
+        )
+        assert flo[:4] == b"FLO!"
+        _, headers, raw = _post(server_url, "/v1/decode", flo)
+        assert headers["X-Sample-Rate"] == "4000" and headers["X-Channels"] == "2"
+        out = np.frombuffer(raw, "<f4")
+        assert np.abs(out - s).max() <= 1 / 32768 + 1e-6
+
+    def test_encode_lossy_and_info(self, server_url):
+        s = sine(220, 8000, 1.0)
+        _, _, flo = _post(
+            server_url, "/v1/encode_lossy?sample_rate=8000&channels=1&quality=2",
+            s.astype("<f4").tobytes(),
+        )
+        _, _, body = _post(server_url, "/v1/info", flo)
+        info = json.loads(body)
+        assert info["is_lossy"] and info["sample_rate"] == 8000
+
+    def test_validate_and_metadata(self, server_url):
+        s = sine(100, 2000, 0.5)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=True)
+        _, _, body = _post(server_url, "/v1/validate", flo)
+        assert json.loads(body)["valid"] is True
+        _, _, body = _post(server_url, "/v1/metadata", flo)
+        meta = json.loads(body)
+        assert "length_ms" in meta
+
+    def test_metadata_update_roundtrip(self, server_url):
+        s = sine(100, 2000, 0.5)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+        patch = json.dumps({"title": "Served", "artist": "Band"}).encode()
+        body = struct.pack("<I", len(flo)) + flo + patch
+        _, _, updated = _post(server_url, "/v1/metadata/update", body)
+        meta = flo_tpu.get_metadata(updated)
+        assert meta.title == "Served" and meta.artist == "Band"
+        # Audio bytes untouched (zero-copy splice).
+        assert np.array_equal(flo_tpu.decode(updated), flo_tpu.decode(flo))
+        _, _, stripped = _post(server_url, "/v1/metadata/strip", updated)
+        assert not flo_tpu.has_metadata(stripped)
+
+    def test_decode_wav(self, server_url):
+        s = sine(100, 2000, 0.5)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+        _, _, wav = _post(server_url, "/v1/decode_wav", flo)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+
+    def test_encode_file_wav_input(self, server_url):
+        from flo_tpu import audio_io
+
+        s = sine(330, 4000, 0.5, channels=2)
+        wav = audio_io.write_wav_to_bytes(s, 4000, 2)
+        _, _, flo = _post(server_url, "/v1/encode_file?level=5", wav)
+        assert flo[:4] == b"FLO!"
+        out = flo_tpu.decode(flo)
+        assert np.abs(out - s).max() <= 1 / 32768 + 1e-6
+
+    def test_seek(self, server_url):
+        s = sine(100, 2000, 3.0)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+        _, _, body = _post(server_url, "/v1/seek?time_ms=1500", flo)
+        res = json.loads(body)
+        assert res["frame_index"] == 1 and res["sample_offset"] == 1000
+
+    def test_analysis(self, server_url):
+        s = sine(440, 8000, 1.0)
+        flo = flo_tpu.encode(s, 8000, 1, analyze=False)
+        _, _, body = _post(
+            server_url, "/v1/analysis?waveform=1&spectrum=1", flo
+        )
+        out = json.loads(body)
+        assert out["sample_rate"] == 8000
+        assert out["loudness"]["integrated_lufs"] < 0
+        assert len(out["waveform"]["peaks"]) > 0
+        assert len(out["spectrum"]["energy_profile"]) == 16
+
+    def test_errors(self, server_url):
+        req = urllib.request.Request(server_url + "/v1/nope", data=b"", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
+        req = urllib.request.Request(
+            server_url + "/v1/encode?sample_rate=100", data=b"", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+    def test_cover_art_404(self, server_url):
+        s = sine(100, 2000, 0.2)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+        req = urllib.request.Request(
+            server_url + "/v1/cover_art", data=flo, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 404
