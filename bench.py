@@ -341,6 +341,50 @@ def main() -> None:
         "note": "Pallas LPC reconstruction scan, device-resident I/O",
     }
 
+    # Full decode step: block-packed residual unpack + Pallas reconstruction
+    # + mid/side + fixed-width block-spread PCM pack (the production
+    # _decode_lanes_bp program), two-phase pipelined like the encoder.
+    from flo_tpu.lossless.decoder import _decode_lanes_bp
+    from flo_tpu.ops import blockpack as _bp
+
+    F2 = pcm_f.shape[0]
+    res_rows = np.asarray(
+        np.clip(np.diff(pcm_f.reshape(-1, RATE), axis=1, prepend=0), -30000, 30000),
+        np.int32,
+    )
+    L2 = res_rows.shape[0]
+    nv_l = np.full(L2, RATE, np.int64)
+    upb, upm, upw, upo = _bp.pack_host(res_rows, nv_l)
+    dd_args = (
+        jax.device_put(upb), jax.device_put(upm.astype(np.int32)),
+        jax.device_put(upw), jax.device_put(upo.astype(np.int32)),
+        jax.device_put(np.tile(np.array([[2, -1] + [0] * 10], np.int32), (L2, 1))),
+        jax.device_put(np.zeros(L2, np.int32)),
+        jax.device_put(np.full(L2, 2, np.int32)),
+        jax.device_put(np.ones(L2, bool)),
+        jax.device_put(np.zeros(F2, bool)),
+        jax.device_put(nv_l.astype(np.int32)),
+    )
+
+    def dd_dispatch():
+        return _decode_lanes_bp(*dd_args, 2, RATE)
+
+    def dd_finish(out):
+        stage, _m, _w, bytes_d, _o = out
+        wp = (np.asarray(bytes_d).astype(np.int64) + 3) // 4
+        return blockspread.pack_stage2(
+            NW=blockspread.bucket_words(int(wp.sum())), **stage
+        )
+
+    dt, lat = _time_two_phase(dd_dispatch, dd_finish)
+    configs["device_decode"] = {
+        "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
+        "latency_ms": round(lat * 1e3, 1),
+        "note": "full decode step (blockpack unpack + Pallas reconstruct + "
+                "block-spread PCM pack), device-resident I/O, 2-deep "
+                "pipelined steady state",
+    }
+
     # Lossy encode compute: the full MDCT -> psychoacoustics -> quantize ->
     # sparse-compact program on device-resident input (same jit the bulk
     # path runs).

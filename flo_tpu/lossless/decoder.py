@@ -164,9 +164,13 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
                      orders, is_fixed, mid_side, lane_nvalid,
                      channels: int, S: int):
     """Block-packed decode step: residual lanes in (ops/blockpack upload,
-    scan-free gather/shift/mask unpack), block-packed true-L/R samples out.
-    Both wire directions carry compressed-size payloads; the only sequential
-    device work left is the reconstruction recurrence itself."""
+    scan-free gather/shift/mask unpack), block-spread fixed-width samples
+    out (ops/blockspread.pack_fixed_stage1 — no per-element scatters; the
+    collect path dispatches stage 2 at the entropy-sized bucket). Both wire
+    directions carry compressed-size payloads; the only sequential device
+    work left is the reconstruction recurrence itself."""
+    from ..ops import blockspread
+
     rows = blockpack.unpack_rows(buf, up_modes, up_widths, up_off, lane_nvalid, S)
     samples = lpc.reconstruct_best(rows, coeffs, shifts, orders, is_fixed)
     fcs = samples.reshape(-1, channels, S)
@@ -177,7 +181,7 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
         ms = mid_side[:, None]
         fcs = jnp.stack([jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1)
     lanes = fcs.reshape(-1, S)
-    return blockpack.pack_rows(lanes, lane_nvalid)
+    return blockspread.pack_fixed_stage1(lanes, lane_nvalid)
 
 
 def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
@@ -263,8 +267,9 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 pb(padf(mid_side[flo_f:fhi_f], pad_f)),
                 pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
             )
-            # Small outputs start their host copy now (ready when compute
-            # ends); the payload prefix starts in collect's first phase.
+            # Small outputs (modes/widths/bytes) start their host copy now
+            # (ready when compute ends); the payload assembly + prefix fetch
+            # start in collect's first phase.
             start_host_copy(handle[1], handle[2], handle[3])
             return handle, lo, hi
 
@@ -280,21 +285,31 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                     lane_nvalid=lane_nvalid, S_max=S_max):
             # Phase 1: start every chunk's payload download (async) so later
             # chunks' bytes stream while earlier chunks host-unpack.
+            from ..ops import blockspread
+
             started = []
-            for (words_d, modes_d, widths_d, bytes_d), lo, hi in handles:
-                # [:hi-lo]: drop inert mesh-padding lanes (zero bytes, tail).
-                dn_bytes = np.asarray(bytes_d).astype(np.int64)[: hi - lo]
-                dn_off = np.zeros(len(dn_bytes), np.int64)
-                np.cumsum(dn_bytes[:-1], out=dn_off[1:])
-                total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
-                h = blockpack.fetch_packed_start(words_d, total)
-                started.append((h, total, dn_off, modes_d, widths_d, lo, hi))
+            for (stage, modes_d, widths_d, bytes_d, _off_d), lo, hi in handles:
+                # Stage 2 at the entropy-sized bucket; offsets recomputed
+                # host-side (word-aligned lanes; padded mesh lanes are a
+                # zero-byte tail, dropped by the [:hi-lo] slices below).
+                dn_bytes = np.asarray(bytes_d).astype(np.int64)
+                words_per = (dn_bytes + 3) // 4
+                woff = np.concatenate([[0], np.cumsum(words_per)])
+                total_bytes = int(woff[-1] * 4)
+                words_dev = blockspread.pack_stage2(
+                    NW=blockspread.bucket_words(int(woff[-1])), **stage
+                )
+                h = blockspread.fetch_words_start(words_dev, total_bytes)
+                started.append(
+                    (h, total_bytes, 4 * woff[:-1], modes_d, widths_d, lo, hi)
+                )
             chunks = []
             for h, total, dn_off, modes_d, widths_d, lo, hi in started:
-                packed = blockpack.fetch_packed_finish(h, total)
-                part = blockpack.unpack_host(
+                packed = blockspread.fetch_words_finish(h, total)
+                part = blockspread.unpack_fixed_host(
                     packed, np.asarray(modes_d).astype(np.uint8)[: hi - lo],
-                    np.asarray(widths_d).astype(np.uint8)[: hi - lo], dn_off,
+                    np.asarray(widths_d).astype(np.uint8)[: hi - lo],
+                    dn_off[: hi - lo],
                     lane_nvalid[lo:hi].astype(np.int64), S_max,
                 )
                 chunks.append(part.reshape(-1, channels, S_max))

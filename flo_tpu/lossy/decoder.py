@@ -102,12 +102,12 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
 def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
                           sample_rate: int, n: int):
-    """Sparse upload AND block-packed download: the host ships 4 bytes per
+    """Sparse upload AND block-spread download: the host ships 4 bytes per
     nonzero coefficient (ops/compact.py), the dense [N, T, C, n2] grid is
     rebuilt ON DEVICE, dequantized/IMDCT'd, quantized to the i16 output
-    domain, and the PCM leaves the device block-packed (ops/blockpack —
-    compressed size, one-pass C++ host unpack)."""
-    from ..ops import blockpack
+    domain, and the PCM leaves via ops/blockspread.pack_fixed_stage1
+    (compressed size, no per-element scatters; one-pass C++ host unpack)."""
+    from ..ops import blockspread
 
     N, T, C = sf.shape[:3]
     n2 = n // 2
@@ -116,7 +116,7 @@ def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
     s = _decode_blocks(q, sf, sample_rate, n)  # [N, T, n2, C]
     i16 = jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int32)
     rows = jnp.moveaxis(i16, -1, -2).reshape(N * T * C, n2)
-    return blockpack.pack_rows(rows, lane_nvalid)
+    return blockspread.pack_fixed_stage1(rows, lane_nvalid)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -251,26 +251,32 @@ def decode_many_async(
         handles.append((lo, hi, nv, h))
 
     def fin() -> list[np.ndarray]:
-        from ..ops import blockpack
+        from ..ops import blockspread
 
         outs = [None] * N
-        # Phase 1: async-start every chunk's payload download.
+        # Phase 1: dispatch every chunk's stage-2 assembly at the
+        # entropy-sized bucket and async-start its payload download.
         started = []
         for lo, hi, nv, h in handles:
-            words_d, modes_d, widths_d, bytes_d = h
+            stage, modes_d, widths_d, bytes_d, _off_d = h
             dn_bytes = np.asarray(bytes_d).astype(np.int64)
-            dn_off = np.zeros(len(dn_bytes), np.int64)
-            np.cumsum(dn_bytes[:-1], out=dn_off[1:])
-            total = int(dn_off[-1] + dn_bytes[-1]) if len(dn_bytes) else 0
-            hp = blockpack.fetch_packed_start(words_d, total)
-            started.append((lo, hi, nv, hp, total, dn_off, modes_d, widths_d))
+            words_per = (dn_bytes + 3) // 4
+            woff = np.concatenate([[0], np.cumsum(words_per)])
+            total = int(woff[-1] * 4)
+            words_dev = blockspread.pack_stage2(
+                NW=blockspread.bucket_words(int(woff[-1])), **stage
+            )
+            hp = blockspread.fetch_words_start(words_dev, total)
+            started.append(
+                (lo, hi, nv, hp, total, 4 * woff[:-1], modes_d, widths_d)
+            )
         for lo, hi, nv, hp, total, dn_off, modes_d, widths_d in started:
-            packed = blockpack.fetch_packed_finish(hp, total)
-            rows = blockpack.unpack_host(
+            packed = blockspread.fetch_words_finish(hp, total)
+            rows = blockspread.unpack_fixed_host(
                 packed, np.asarray(modes_d).astype(np.uint8),
                 np.asarray(widths_d).astype(np.uint8), dn_off,
                 nv.astype(np.int64), n2,
-            )  # [(hi-lo)*T*C, n2]
+            )  # [(hi-lo+pad)*T*C, n2]
             # [:hi-lo]: drop inert mesh-padding files (zero rows, tail).
             segs = np.moveaxis(rows.reshape(-1, t_max, C, n2)[: hi - lo], 2, 3)
             segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)

@@ -60,6 +60,10 @@ _SIGNATURES = {
             _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             ctypes.c_int64, _i32p,
         ],
+        "blockpack_unpack_msb": [
+            _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            ctypes.c_int64, _i32p,
+        ],
     },
     "sparse": {
         "sparse_sizes": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p],
@@ -300,6 +304,24 @@ def blockpack_unpack(buf, lane_off, modes, widths, nvalid, S: int):
     out = np.zeros((L, S), np.int32)
     if L:
         lib.blockpack_unpack(
+            _ptr(buf, ctypes.c_uint8), _ptr(lane_off, ctypes.c_int64),
+            _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
+            L, nblk, _ptr(nvalid, ctypes.c_int64), S,
+            _ptr(out, ctypes.c_int32),
+        )
+    return out
+
+
+def blockpack_unpack_msb(buf, lane_off, modes, widths, nvalid, S: int):
+    """C++ unpack of the MSB-first block-spread fixed-width stream
+    (ops/blockspread.pack_fixed_stage1) -> [L, S] int32 rows, or None."""
+    lib = _load("blockpack")
+    if lib is None or not hasattr(lib, "blockpack_unpack_msb"):
+        return None
+    L, nblk = widths.shape
+    out = np.zeros((L, S), np.int32)
+    if L:
+        lib.blockpack_unpack_msb(
             _ptr(buf, ctypes.c_uint8), _ptr(lane_off, ctypes.c_int64),
             _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
             L, nblk, _ptr(nvalid, ctypes.c_int64), S,

@@ -175,4 +175,50 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
     }
 }
 
+// MSB-first variant: the device-side block-spread packer
+// (ops/blockspread.pack_fixed_stage1) emits big-endian bit order with
+// word-aligned lane offsets; same mode/width/zigzag semantics as above.
+void blockpack_unpack_msb(const uint8_t* buf, const int64_t* lane_off,
+                          const uint8_t* modes, const uint8_t* widths,
+                          int64_t L, int64_t nblk, const int64_t* nvalid,
+                          int64_t out_stride, int32_t* out) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t l = 0; l < L; ++l) {
+        const int64_t n = nvalid[l];
+        const int mode = modes[l];
+        const uint8_t* wl = widths + l * nblk;
+        const uint8_t* src = buf + lane_off[l];
+        int32_t* dst = out + l * out_stride;
+        uint64_t acc = 0;  // bits accumulate at the high end, MSB-first
+        int nbits = 0;
+        uint32_t c1 = 0, c2 = 0;
+        for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
+            const int w = wl[b];
+            const uint32_t mask = w >= 32 ? 0xFFFFFFFFu : ((1u << w) - 1u);
+            const int64_t j0 = b * BLK;
+            for (int64_t j = j0; j < j0 + BLK; ++j) {
+                uint32_t z = 0;
+                if (w) {
+                    while (nbits < w) {
+                        acc |= static_cast<uint64_t>(*src++) << (56 - nbits);
+                        nbits += 8;
+                    }
+                    z = static_cast<uint32_t>(acc >> (64 - w)) & mask;
+                    acc <<= w;
+                    nbits -= w;
+                }
+                const uint32_t v =
+                    (z >> 1) ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
+                c1 += v;
+                c2 += c1;
+                if (j < n)
+                    dst[j] = static_cast<int32_t>(
+                        mode == 0 ? v : (mode == 1 ? c1 : c2));
+            }
+        }
+        if (n < out_stride)
+            std::memset(dst + n, 0, (out_stride - n) * sizeof(int32_t));
+    }
+}
+
 }  // extern "C"

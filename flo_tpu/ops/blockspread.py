@@ -94,8 +94,6 @@ def pack_stage1(residuals, k, nvalid, is_raw):
     (lane_bytes [L] i32, lane_off [L] i32 word-aligned, bad [L] bool).
     """
     L, S = residuals.shape
-    NBL = -(-S // BLKC)  # blocks per lane
-    Sp = NBL * BLKC
     kcol = k[:, None]
     ku = kcol.astype(jnp.uint32)
 
@@ -116,6 +114,17 @@ def pack_stage1(residuals, k, nvalid, is_raw):
     pat_raw = ((u_raw & jnp.uint32(0x00FF)) << 24) | ((u_raw & jnp.uint32(0xFF00)) << 8)
     pattern = jnp.where(is_raw[:, None], pat_raw, pat_rice)
     pattern = jnp.where(valid, pattern, jnp.uint32(0))
+
+    return _spread_codes(clen, pattern, q, u_rice)
+
+
+def _spread_codes(clen, pattern, q, u_rice):
+    """Shared stage-1 core: variable-length codes [L, S] (bit length `clen`,
+    first-32-bits MSB-aligned `pattern`, Rice (q, u) for >32-bit patch
+    tails) -> block spread + deltas + patch list + lane sizes."""
+    L, S = clen.shape
+    NBL = -(-S // BLKC)  # blocks per lane
+    Sp = NBL * BLKC
 
     # Two-level bit-offset cumsum: block sums, then in-block log shifts.
     pad = Sp - S
@@ -287,6 +296,119 @@ def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
             jnp.uint32,
         )
     return words
+
+
+#: Width-granularity block for the fixed-width transport (256 codes at one
+#: bit width w — 32w bytes per block, same adaptation grain as blockpack).
+BLKW = 256
+
+
+def pack_fixed_stage1(rows, nvalid):
+    """Fixed-width download transport through the block-dense spread.
+
+    blockpack.pack_rows' semantics (per-lane none/delta/delta2 transform,
+    zigzag, per-256-code-block bit widths) WITHOUT its two per-element
+    scatters (~10 ns/element): codes become (clen = w, pattern = z MSB-
+    aligned) and flow through the shared spread machinery. The stream is
+    MSB-first with word-aligned lanes (unpack_fixed_host / the C++
+    blockpack_unpack_msb are the host inverses); every code is <= 32 bits,
+    so the patch list is structurally empty.
+
+    rows [L, S] int32, nvalid [L] -> (stage for pack_stage2, modes [L] i32,
+    widths [L, NBW] i32, lane_bytes [L] i32, lane_off [L] i32).
+    """
+    L, S = rows.shape
+    NBW = -(-S // BLKW)
+    Spad = NBW * BLKW
+    j = jnp.arange(Spad, dtype=jnp.int32)
+    valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
+    vpad = rows if Spad == S else jnp.pad(rows, ((0, 0), (0, Spad - S)))
+    v = jnp.where(valid, vpad, 0).astype(jnp.int32)
+    d1 = v - jnp.pad(v, ((0, 0), (1, 0)))[:, :Spad]
+    d2 = d1 - jnp.pad(d1, ((0, 0), (1, 0)))[:, :Spad]
+    d1 = jnp.where(valid, d1, 0)
+    d2 = jnp.where(valid, d2, 0)
+
+    z0, z1, z2 = (_zigzag_u32(x) for x in (v, d1, d2))
+
+    def wblk(z):
+        m = z.reshape(L, NBW, BLKW).max(axis=2)
+        return jnp.where(
+            m == 0, 0, 32 - jax.lax.clz(jax.lax.bitcast_convert_type(m, jnp.int32))
+        )
+
+    w0, w1, w2 = (wblk(z) for z in (z0, z1, z2))
+    s0, s1, s2 = (w.sum(axis=1) for w in (w0, w1, w2))
+    modes = jnp.where((s2 < s1) & (s2 < s0), 2, jnp.where(s1 < s0, 1, 0))
+    m1 = (modes == 1)[:, None]
+    m2 = (modes == 2)[:, None]
+    w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
+    z = jnp.where(m2[:, :], z2, jnp.where(m1[:, :], z1, z0))
+
+    clen = jnp.repeat(w, BLKW, axis=1)  # every code in a block at width w
+    wu = jnp.clip(clen, 1, 32).astype(jnp.uint32)
+    pattern = jnp.where(clen > 0, z << (jnp.uint32(32) - wu), jnp.uint32(0))
+    zeros = jnp.zeros((L, Spad), jnp.int32)
+    stage, lane_bytes, lane_off, _bad = _spread_codes(
+        clen, pattern, zeros, jax.lax.bitcast_convert_type(zeros, jnp.uint32)
+    )
+    return stage, modes, w, lane_bytes, lane_off
+
+
+def unpack_fixed_host(buf: bytes, modes, widths, lane_off, nvalid, S: int):
+    """Host inverse of pack_fixed_stage1 (+stage2): MSB-first fixed-width
+    parse + un-zigzag + inverse transform -> [L, S] int32. C++ fast path
+    (native.blockpack_unpack_msb), vectorized numpy fallback."""
+    from .. import native
+
+    L, NBW = widths.shape
+    out = native.blockpack_unpack_msb(
+        np.ascontiguousarray(np.frombuffer(buf, np.uint8)),
+        np.ascontiguousarray(lane_off, np.int64),
+        np.ascontiguousarray(modes, np.uint8),
+        np.ascontiguousarray(widths, np.uint8),
+        np.ascontiguousarray(nvalid, np.int64), S,
+    )
+    if out is None:
+        out = _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S)
+    return out
+
+
+def _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S: int):
+    b = np.frombuffer(buf, np.uint8)
+    need = int(np.max(lane_off + widths.astype(np.int64).sum(1) * 32, initial=0)) + 8
+    if len(b) < need:
+        b = np.concatenate([b, np.zeros(need - len(b), np.uint8)])
+    L, NBW = widths.shape
+    w64 = widths.astype(np.int64)
+    blk_bits = BLKW * w64
+    bit0 = (
+        np.asarray(lane_off, np.int64)[:, None] * 8
+        + np.cumsum(blk_bits, axis=1) - blk_bits
+    )  # [L, NBW] block start bits
+    jj = np.arange(S, dtype=np.int64)
+    blk = jj // BLKW
+    wj = w64[:, blk]  # [L, S]
+    bit = bit0[:, blk] + (jj % BLKW)[None, :] * wj
+    byte = bit >> 3
+    win = np.zeros((L, S), np.uint64)
+    for piece in range(5):  # codes <= 32 bits + 7 bit offset -> <= 5 bytes
+        win = (win << np.uint64(8)) | b[byte + piece].astype(np.uint64)
+    sh = (np.uint64(40) - (bit & 7).astype(np.uint64) - wj.astype(np.uint64))
+    mask = np.where(
+        wj >= 32, np.uint64(0xFFFFFFFF),
+        (np.uint64(1) << wj.astype(np.uint64)) - np.uint64(1),
+    )
+    z = ((win >> sh) & mask).astype(np.uint32)
+    v = ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).view(np.int32).reshape(L, S)
+    c1 = np.cumsum(v, axis=1, dtype=np.int32)
+    c2 = np.cumsum(c1, axis=1, dtype=np.int32)
+    modes = np.asarray(modes)
+    out = np.where(
+        (modes == 2)[:, None], c2, np.where((modes == 1)[:, None], c1, v)
+    )
+    valid = np.arange(S)[None, :] < np.asarray(nvalid, np.int64)[:, None]
+    return np.where(valid, out, 0).astype(np.int32)
 
 
 def bucket_words(n: int, floor: int = 1 << 16) -> int:

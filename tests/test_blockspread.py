@@ -99,6 +99,48 @@ class TestBlockSpread:
         nvalid = np.full(L, S, np.int32)
         _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
 
+    def test_fixed_width_pack_roundtrip(self):
+        """pack_fixed_stage1 + stage2 vs both host unpackers (C++ and the
+        numpy fallback), across transform modes, w=0 lanes, partial lanes."""
+        import jax
+
+        rng = np.random.default_rng(9)
+        L, S = 7, 1500
+        rows = np.zeros((L, S), np.int32)
+        rows[0] = rng.integers(-30000, 30000, S)        # mode 0 territory
+        rows[1] = np.cumsum(rng.integers(-50, 50, S))   # smooth -> delta
+        rows[2] = 123                                   # constant -> w tiny
+        rows[3] = 0                                     # silent -> w = 0
+        rows[4] = np.cumsum(np.cumsum(rng.integers(-3, 3, S)))  # delta2
+        rows[5] = rng.integers(-(2**30), 2**30, S)      # wide (w ~ 31-32)
+        rows[6, :700] = rng.integers(-500, 500, 700)
+        nvalid = np.array([S, S, S, S, S, S, 700], np.int64)
+
+        stage, modes, widths, lane_bytes, lane_off = jax.jit(
+            blockspread.pack_fixed_stage1
+        )(jnp.asarray(rows), jnp.asarray(nvalid))
+        lane_bytes = np.asarray(lane_bytes)
+        lane_off = np.asarray(lane_off).astype(np.int64)
+        widths_h = np.asarray(widths).astype(np.uint8)
+        modes_h = np.asarray(modes).astype(np.uint8)
+        assert np.array_equal(
+            lane_bytes, 32 * np.asarray(widths).astype(np.int64).sum(axis=1)
+        )
+        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
+        NW = blockspread.bucket_words(total // 4)
+        words = blockspread.pack_stage2(NW=NW, **stage)
+        buf = np.asarray(words).byteswap().view(np.uint8).tobytes()
+
+        expect = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
+        got_np = blockspread._unpack_fixed_np(
+            buf, modes_h, widths_h, lane_off, nvalid, S
+        )
+        np.testing.assert_array_equal(got_np, expect)
+        got = blockspread.unpack_fixed_host(
+            buf, modes_h, widths_h, lane_off, nvalid, S
+        )
+        np.testing.assert_array_equal(got, expect)
+
     def test_patch_overflow_flags_bad(self):
         """More long codes than PATCH_CAP -> affected lanes flagged bad."""
         L, S = 2, blockspread.PATCH_CAP + 64
