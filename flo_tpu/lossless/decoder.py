@@ -249,10 +249,13 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             buf, up_modes, up_widths, up_off = blockpack.pack_host(
                 rows[lo:hi], lane_nvalid[lo:hi].astype(np.int64)
             )
+            payload_end = len(buf) - blockpack.PAD_BYTES
             nb = _bucket_bytes(len(buf))
             if nb != len(buf):
                 buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
             # Mesh padding: inert zero lanes (nvalid=0) at the frame tail.
+            # Their upload offsets sit at the payload end — unpack_rows'
+            # word expansion needs non-decreasing lane offsets.
             pad_f = _pp.pad_batch(fhi_f - flo_f, mesh) - (fhi_f - flo_f)
             pad_l = pad_f * channels
             padf = lambda a, p: np.pad(a, [(0, p)] + [(0, 0)] * (a.ndim - 1))
@@ -261,7 +264,10 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 _pp.put_replicated(buf, mesh),
                 pb(padf(up_modes.astype(np.int32), pad_l)),
                 pb(padf(up_widths, pad_l)),
-                pb(padf(up_off.astype(np.int32), pad_l)),
+                pb(np.concatenate([
+                    up_off.astype(np.int32),
+                    np.full(pad_l, payload_end, np.int32),
+                ])),
                 pb(padf(coeffs[lo:hi], pad_l)), pb(padf(shifts[lo:hi], pad_l)),
                 pb(padf(orders[lo:hi], pad_l)), pb(padf(is_fixed[lo:hi], pad_l)),
                 pb(padf(mid_side[flo_f:fhi_f], pad_f)),

@@ -285,14 +285,19 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
         lanes_pcm = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).reshape(-1, spf)
         nv_lane = np.repeat(frame_samples, C).astype(np.int64)
         buf, modes_up, widths_up, lane_off_up = blockpack.pack_host(lanes_pcm, nv_lane)
+        payload_end = len(buf) - blockpack.PAD_BYTES  # 4-aligned
         nb = _bucket_bytes(len(buf))
         if nb != len(buf):
             buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
+        # Mesh-padding lanes must keep lane offsets non-decreasing
+        # (blockpack.unpack_rows' word expansion relies on stream order),
+        # so they sit at the payload end with zero widths.
+        off_pad = np.full(pad_f * C, payload_end, np.int32)
         device_out = encode_select_packed(
             pr(buf),
             pb(_pad_frames(modes_up.astype(np.int32), pad_f * C)),
             pb(_pad_frames(widths_up, pad_f * C)),
-            pb(_pad_frames(lane_off_up.astype(np.int32), pad_f * C)),
+            pb(np.concatenate([lane_off_up.astype(np.int32), off_pad])),
             pb(_pad_frames(frame_samples.astype(np.int32), pad_f)),
             tuple(kinds), tuple(cand_orders), C, spf,
         )

@@ -127,15 +127,21 @@ def _dispatch_packed(stacked_f32, used, sample_rate: int, thr, mesh=None):
         np.rint(stacked_f32 * np.float32(32767.0)), -32768, 32767
     ).astype(np.int32)
     buf, modes, widths, lane_off = blockpack.pack_host(rows, used)
+    payload_end = len(buf) - blockpack.PAD_BYTES
     nb = _bucket_bytes(len(buf))
     if nb != len(buf):
         buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
     pad_l = _pp.pad_batch(Lc, mesh) - Lc
-    padf = lambda a: np.pad(a, (0, pad_l))
+    padf = lambda a: np.pad(a, [(0, pad_l)] + [(0, 0)] * (a.ndim - 1))
     pb = lambda x: _pp.put_batch(x, mesh)
+    # Mesh-padding lanes sit at the payload end (unpack_rows' word expansion
+    # needs non-decreasing lane offsets) with zero widths.
+    off_padded = np.concatenate(
+        [lane_off.astype(np.int32), np.full(pad_l, payload_end, np.int32)]
+    )
     return _encode_packed_compact(
         _pp.put_replicated(buf, mesh), pb(padf(modes.astype(np.int32))),
-        pb(padf(widths)), pb(padf(lane_off.astype(np.int32))),
+        pb(padf(widths)), pb(off_padded),
         pb(padf(used.astype(np.int32))), int(sample_rate),
         _pp.put_replicated(thr, mesh), W,
     )

@@ -265,37 +265,90 @@ def _exclusive_cumsum(x, axis):
 def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
     """Device inverse of pack_host -> [L, S] int32 (zeros past nvalid).
 
-    buf: [B] u8 (>= total + PAD_BYTES); widths: [L, NB] u8 (NB covers S);
-    modes: [L]; lane_off: [L] byte offsets; nvalid: [L]. Scan-free.
+    buf: [B] u8 (>= total + PAD_BYTES, B a multiple of 4); widths: [L, NB]
+    u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L].
+
+    Scan-free AND per-element-indexed-op-free: the round-2 version gathered
+    two 4-byte windows PER CODE (~10 ns/index on this chip — ~200 ms per
+    bulk chunk). The stream is word-structured (32w-byte blocks and the
+    bucketed buffer are 4-aligned) and each code reads words wi, wi+1 with
+    wi NON-DECREASING in flat code order, so the word values are instead
+    run-length EXPANDED onto code positions: one delta scatter per BUFFER
+    WORD (payload/4 indices, ~4x fewer than codes and entropy-sized) plus a
+    code-domain cumsum — the same trick as ops/blockspread's assembly,
+    inverted.
     """
     L, NB = widths.shape
-    le32 = _le32_windows(buf)
+    Sp = NB * BLK
+    NWb = buf.shape[0] // 4
+    W = jax.lax.bitcast_convert_type(buf[: NWb * 4].reshape(NWb, 4), jnp.uint32)
+    Wn = jnp.concatenate([W[1:], jnp.zeros(1, jnp.uint32)])
+
     w = widths.astype(jnp.int32)
-    blk_bytes = 32 * w
-    boff = lane_off.astype(jnp.int32)[:, None] + _exclusive_cumsum(blk_bytes, 1)
+    blk_words = 8 * w  # 32w bytes
+    bwoff = (lane_off.astype(jnp.int32) >> 2)[:, None] + _exclusive_cumsum(blk_words, 1)
 
-    j = jnp.arange(S, dtype=jnp.int32)
-    b = j // BLK
+    # Per-word -> first-code map. Every word of a w>0 block starts at least
+    # one code (w <= 32), and the word stream is contiguous in flat code
+    # order, so: expand block ids onto words (per-BLOCK delta scatter at the
+    # block word starts; w=0 blocks land on the next block's start word and
+    # telescope away, last-wins), compute each word's first code
+    # arithmetically, then expand the word VALUES onto code positions
+    # (per-WORD delta scatter + code-domain cumsum).
+    blk_id = jnp.arange(L * NB, dtype=jnp.int32)
+    bw_flat = bwoff.reshape(-1)
+    pos_blk = jnp.minimum(bw_flat, NWb)
+    d_blk = blk_id - jnp.concatenate([jnp.zeros(1, jnp.int32), blk_id[:-1]])
+    d_bw = bw_flat - jnp.concatenate([jnp.zeros(1, jnp.int32), bw_flat[:-1]])
+    seedB = jnp.zeros((NWb,), jnp.int32).at[pos_blk].add(
+        d_blk, mode="drop", indices_are_sorted=True
+    )
+    seedW = jnp.zeros((NWb,), jnp.int32).at[pos_blk].add(
+        d_bw, mode="drop", indices_are_sorted=True
+    )
+    blk_of_word = jnp.cumsum(seedB)
+    w0_of_word = jnp.cumsum(seedW)
+    t = jnp.arange(NWb, dtype=jnp.int32) - w0_of_word  # word idx within block
+    wb = w.reshape(-1)[blk_of_word]  # block width per word
+    first_in_blk = jnp.where(wb > 0, (32 * t + wb - 1) // jnp.maximum(wb, 1), BLK)
+    # Only buffer-padding words past the payload are dead (first >= BLK);
+    # they come after every live word, so dropping their deltas is safe.
+    live_w = (wb > 0) & (first_in_blk < BLK)
+    pos_w = jnp.where(live_w, blk_of_word * BLK + jnp.minimum(first_in_blk, BLK - 1),
+                      L * Sp)
+
+    def expand(vals_u32):
+        v = jax.lax.bitcast_convert_type(vals_u32, jnp.int32)
+        delta = v - jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+        seed = jnp.zeros((L * Sp,), jnp.int32).at[pos_w].add(
+            delta, mode="drop", indices_are_sorted=True
+        )
+        return jax.lax.bitcast_convert_type(jnp.cumsum(seed), jnp.uint32)
+
+    Wlo = expand(W)
+    Whi = expand(Wn)
+
+    j = jnp.arange(Sp, dtype=jnp.int32)
     jj = j % BLK
-    wj = w[:, b]  # [L, S]
+    wj = jnp.repeat(w, BLK, axis=1)  # [L, Sp]
     bit = jj[None, :] * wj
-    byte = boff[:, b] + (bit >> 3)
-    sh = (bit & 7).astype(jnp.uint32)
-
-    lo = le32[byte] >> sh
-    hi = jnp.where(sh > 0, le32[byte + 4] << (jnp.uint32(32) - sh), jnp.uint32(0))
+    sh = (bit & 31).astype(jnp.uint32)
+    lo = Wlo.reshape(L, Sp) >> sh
+    hi = jnp.where(
+        sh > 0, Whi.reshape(L, Sp) << (jnp.uint32(32) - sh), jnp.uint32(0)
+    )
     wu = jnp.minimum(wj, 31).astype(jnp.uint32)
     mask = jnp.where(
         wj >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << wu) - jnp.uint32(1)
     )
-    z = (lo | hi) & mask
+    z = ((lo | hi) & mask)[:, :S]
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
     c1 = jnp.cumsum(v, axis=1, dtype=jnp.int32)
     c2 = jnp.cumsum(c1, axis=1, dtype=jnp.int32)
     out = jnp.where(
         (modes == 2)[:, None], c2, jnp.where((modes == 1)[:, None], c1, v)
     )
-    valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid.astype(jnp.int32)[:, None]
     return jnp.where(valid, out, 0)
 
 
