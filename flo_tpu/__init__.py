@@ -14,6 +14,7 @@ from .lib import (
     decode,
     encode,
     encode_lossy,
+    encode_transform,
     encode_with_bitrate,
     format_time,
     format_time_ms,
@@ -40,6 +41,7 @@ __all__ = [
     "decode_frame_at",
     "encode",
     "encode_lossy",
+    "encode_transform",
     "encode_with_bitrate",
     "format_time",
     "format_time_ms",

@@ -103,6 +103,26 @@ def encode_lossy(
     return lossy_encoder.encode(samples, sample_rate, channels, q, metadata, bit_depth)
 
 
+def encode_transform(
+    samples,
+    sample_rate: int,
+    channels: int,
+    bit_depth: int = 16,
+    quality: float = 0.55,
+    metadata: bytes = b"",
+    *,
+    analyze: bool = True,
+) -> bytes:
+    """Lossy encode with CONTINUOUS quality 0.0-1.0 (the JS API's
+    encode_transform, Docs/javascript-api.md §encode_transform; the u8
+    preset facade is encode_lossy)."""
+    samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+    q = min(max(float(quality), 0.0), 1.0)
+    if analyze:
+        metadata = add_analysis_data_if_missing(metadata, samples, sample_rate, channels)
+    return lossy_encoder.encode(samples, sample_rate, channels, q, metadata, bit_depth)
+
+
 def encode_with_bitrate(
     samples,
     sample_rate: int,

@@ -115,6 +115,14 @@ def _handle(path: str, query: dict, body: bytes):
         )
         return 200, "application/octet-stream", data, {}
 
+    if path == "/v1/encode_transform":
+        samples = np.frombuffer(body, dtype="<f4")
+        data = flo_tpu.encode_transform(
+            samples, q1("sample_rate"), q1("channels"),
+            quality=q1("quality", 0.55, cast=float),
+        )
+        return 200, "application/octet-stream", data, {}
+
     if path == "/v1/encode_with_bitrate":
         samples = np.frombuffer(body, dtype="<f4")
         data = flo_tpu.encode_with_bitrate(
