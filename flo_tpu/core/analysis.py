@@ -156,17 +156,19 @@ def extract_spectral_fingerprint(
     n = samples.size // C
     duration_ms = max(1, int(n / sample_rate * 1000.0))
 
-    hasher_input = (
-        bytes([C & 0xFF])
-        + int(sample_rate).to_bytes(4, "little")
-        + (samples.size & 0xFFFFFFFF).to_bytes(4, "little")
-        + samples.astype("<f4").tobytes()
-    )
+    # Header (channels u8, rate u32le, count u32le) + raw little-endian f32
+    # PCM, assembled in ONE buffer (a bytes-concat of the ~MB PCM payload
+    # costs two extra copies per file on this 1-core host).
+    hasher_input = np.empty(9 + 4 * samples.size, dtype=np.uint8)
+    hasher_input[0] = C & 0xFF
+    hasher_input[1:5].view("<u4")[0] = int(sample_rate)
+    hasher_input[5:9].view("<u4")[0] = samples.size & 0xFFFFFFFF
+    hasher_input[9:].view("<f4")[:] = samples
     from .. import native
 
     h = native.blake3_digest(hasher_input)  # C++ tree hash (27x the numpy path)
     if h is None:
-        h = blake3.digest(hasher_input)
+        h = blake3.digest(hasher_input.tobytes())
 
     FFT = 256
     probes = [n // 4, n // 2, n * 3 // 4]

@@ -212,8 +212,11 @@ def encode_many_to_frames(
 
 #: Number of sub-batches a bulk encode is split into. With >1, chunk B's
 #: uploads/compute overlap chunk A's download + host assembly (jax dispatch
-#: is async; only the collect blocks).
-PIPELINE_CHUNKS = 4
+#: is async; only the collect blocks). 2 beats 4 by ~25% on the overlapped
+#: headline pass (tools/chunks_ab.py, r3: 150.8 vs 121.0 au-s/s, consistent
+#: with the r2 A/B recorded in commit b07e80c; 4 only wins for SERIAL
+#: single-pipeline calls).
+PIPELINE_CHUNKS = 2
 
 
 def _dispatch_active_frames(

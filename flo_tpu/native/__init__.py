@@ -385,13 +385,15 @@ def blake3_digest(data) -> bytes | None:
     lib = _load("analysis")
     if lib is None:
         return None
-    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if isinstance(data, np.ndarray):
+        buf = np.ascontiguousarray(data).reshape(-1).view(np.uint8)
+    else:
+        buf = np.frombuffer(data, dtype=np.uint8)  # zero-copy on bytes
     if buf.size == 0:
         buf = np.zeros(1, dtype=np.uint8)
         n = 0
     else:
         n = buf.size
-    buf = np.ascontiguousarray(buf)
     out = np.zeros(32, dtype=np.uint8)
     lib.blake3_digest(_ptr(buf, ctypes.c_uint8), n, _ptr(out, ctypes.c_uint8))
     return out.tobytes()

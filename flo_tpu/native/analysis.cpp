@@ -24,6 +24,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX2__) && defined(__FMA__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------- BLAKE3
@@ -168,22 +172,51 @@ void kweight_cascade(double* x, int64_t lanes, int64_t n, const double* cf) {
 
 // ------------------------------------------------------- true-peak FIR
 
+// One output position, scalar (boundary samples where the tap window clips).
+static inline double fir_one(const double* row, int64_t n, const double* h,
+                             int64_t taps, int64_t center, int64_t i) {
+  double acc = 0.0;
+  int64_t k0 = std::max<int64_t>(0, center - i);
+  int64_t k1 = std::min<int64_t>(taps, n - i + center);
+  const double* src = row + i - center;
+  for (int64_t k = k0; k < k1; k++) acc += h[k] * src[k];
+  return acc < 0 ? -acc : acc;
+}
+
 // out_max[l] = max_i |sum_k h[k] * x[l, i - center + k]| (zeros outside).
+// Interior positions (full tap window) vectorize across i — each vector lane
+// is one output, so the per-output tap summation order is identical to the
+// scalar loop (and FMA matches gcc's default -ffp-contract on this TU).
 void fir_absmax(const double* x, int64_t lanes, int64_t n, const double* h,
                 int64_t taps, int64_t center, double* out_max) {
+  const int64_t lo = std::min(center, n);               // first full-window i
+  const int64_t hi = std::max(lo, n - taps + center + 1);  // one past last
 #pragma omp parallel for schedule(static)
   for (int64_t l = 0; l < lanes; l++) {
     const double* row = x + l * n;
     double best = 0.0;
-    for (int64_t i = 0; i < n; i++) {
-      double acc = 0.0;
-      int64_t k0 = std::max<int64_t>(0, center - i);
-      int64_t k1 = std::min<int64_t>(taps, n - i + center);
+    for (int64_t i = 0; i < lo; i++) best = std::max(best, fir_one(row, n, h, taps, center, i));
+    int64_t i = lo;
+#if defined(__AVX2__) && defined(__FMA__)
+    const __m256d signmask = _mm256_set1_pd(-0.0);
+    __m256d vbest0 = _mm256_setzero_pd(), vbest1 = _mm256_setzero_pd();
+    for (; i + 8 <= hi; i += 8) {
       const double* src = row + i - center;
-      for (int64_t k = k0; k < k1; k++) acc += h[k] * src[k];
-      double a = acc < 0 ? -acc : acc;
-      if (a > best) best = a;
+      __m256d a0 = _mm256_setzero_pd(), a1 = _mm256_setzero_pd();
+      for (int64_t k = 0; k < taps; k++) {
+        const __m256d hk = _mm256_set1_pd(h[k]);
+        a0 = _mm256_fmadd_pd(hk, _mm256_loadu_pd(src + k), a0);
+        a1 = _mm256_fmadd_pd(hk, _mm256_loadu_pd(src + k + 4), a1);
+      }
+      vbest0 = _mm256_max_pd(vbest0, _mm256_andnot_pd(signmask, a0));
+      vbest1 = _mm256_max_pd(vbest1, _mm256_andnot_pd(signmask, a1));
     }
+    alignas(32) double tmp[4];
+    _mm256_store_pd(tmp, _mm256_max_pd(vbest0, vbest1));
+    for (int t = 0; t < 4; t++) best = std::max(best, tmp[t]);
+#endif
+    for (; i < hi; i++) best = std::max(best, fir_one(row, n, h, taps, center, i));
+    for (i = hi; i < n; i++) best = std::max(best, fir_one(row, n, h, taps, center, i));
     out_max[l] = best;
   }
 }
