@@ -34,10 +34,14 @@ This design touches indices only per-BLOCK (32 codes), ~330k of them:
    to exact host re-packing, as before).
 
 Output contract (same as ricepack.pack_lanes, but words): for every
-non-flagged lane, the byte stream ``words_msb[off[l]:off[l]+n[l]]`` — words
-viewed MSB-first, see fetch_words_finish — is byte-for-byte identical to
-``rice_host.encode(residuals[l, :n[l]], k[l])``; raw lanes carry verbatim
-LE16 codes. Lane offsets are word-aligned.
+non-flagged lane, the byte stream ``words.view(u8)[off[l]:off[l]+n[l]]`` is
+byte-for-byte identical to ``rice_host.encode(residuals[l, :n[l]], k[l])``;
+raw lanes carry verbatim LE16 codes. Lane offsets are word-aligned. The
+MSB-first word→byte swap happens ON DEVICE at the end of pack_stage2 (4
+vector shift/ors) so the downloaded u32 buffer's little-endian host layout
+IS the byte stream — fetch_words_finish is a zero-copy view, not the
+byteswap+tobytes double copy it replaces (~2 host passes over the payload
+per pass on this single-core host).
 """
 
 from __future__ import annotations
@@ -252,8 +256,9 @@ def _spread_codes(clen, pattern, q, u_rice):
 def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
     """Assemble the word stream at a bucketed size (static NW words).
 
-    Returns words u32 [NW]; view MSB-first for the byte stream
-    (fetch_words_finish byteswaps on the host).
+    Returns words u32 [NW] already byte-swapped to host little-endian
+    layout: ``np.asarray(words).view(np.uint8)`` IS the MSB-first byte
+    stream (fetch_words_finish is a zero-copy view).
     """
     NBLK = rows.shape[0]
     pos = jnp.minimum(W0_pos, NW)  # run-off tail -> dropped
@@ -295,7 +300,15 @@ def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
             .add(contrib, mode="drop"),
             jnp.uint32,
         )
-    return words
+    # Byte-swap on device: the stream is MSB-first within each u32, so
+    # emitting the swapped word makes the host's little-endian u32 buffer
+    # equal the byte stream — the download needs no host-side byteswap copy.
+    return (
+        (words >> 24)
+        | ((words >> 8) & jnp.uint32(0x0000FF00))
+        | ((words << 8) & jnp.uint32(0x00FF0000))
+        | (words << 24)
+    )
 
 
 #: Width-granularity block for the fixed-width transport (256 codes at one
@@ -355,7 +368,15 @@ def pack_fixed_stage1(rows, nvalid):
     return stage, modes, w, lane_bytes, lane_off
 
 
-def unpack_fixed_host(buf: bytes, modes, widths, lane_off, nvalid, S: int):
+def _as_u8(buf) -> np.ndarray:
+    """bytes-like or uint8 ndarray -> contiguous uint8 ndarray (no copy for
+    an already-contiguous array or bytes)."""
+    if isinstance(buf, np.ndarray):
+        return np.ascontiguousarray(buf.view(np.uint8))
+    return np.frombuffer(buf, np.uint8)
+
+
+def unpack_fixed_host(buf, modes, widths, lane_off, nvalid, S: int):
     """Host inverse of pack_fixed_stage1 (+stage2): MSB-first fixed-width
     parse + un-zigzag + inverse transform -> [L, S] int32. C++ fast path
     (native.blockpack_unpack_msb), vectorized numpy fallback."""
@@ -363,7 +384,7 @@ def unpack_fixed_host(buf: bytes, modes, widths, lane_off, nvalid, S: int):
 
     L, NBW = widths.shape
     out = native.blockpack_unpack_msb(
-        np.ascontiguousarray(np.frombuffer(buf, np.uint8)),
+        _as_u8(buf),
         np.ascontiguousarray(lane_off, np.int64),
         np.ascontiguousarray(modes, np.uint8),
         np.ascontiguousarray(widths, np.uint8),
@@ -375,7 +396,7 @@ def unpack_fixed_host(buf: bytes, modes, widths, lane_off, nvalid, S: int):
 
 
 def _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S: int):
-    b = np.frombuffer(buf, np.uint8)
+    b = _as_u8(buf)
     need = int(np.max(lane_off + widths.astype(np.int64).sum(1) * 32, initial=0)) + 8
     if len(b) < need:
         b = np.concatenate([b, np.zeros(need - len(b), np.uint8)])
@@ -428,14 +449,16 @@ def fetch_words_start(words_dev, total_bytes: int):
     return fetch_prefix_start(words_dev, -(-total_bytes // 4))
 
 
-def fetch_words_finish(h, total_bytes: int) -> bytes:
-    """Finish the download; returns the MSB-first byte stream."""
+def fetch_words_finish(h, total_bytes: int) -> np.ndarray:
+    """Finish the download; returns the MSB-first byte stream as a
+    zero-copy ``np.uint8`` view of the downloaded words (pack_stage2
+    byte-swapped on device)."""
     from .ricepack import fetch_prefix_finish
 
     if h is None:
-        return b""
+        return np.zeros(0, np.uint8)
     w = fetch_prefix_finish(h, -(-total_bytes // 4))
-    return np.ascontiguousarray(w).byteswap().view(np.uint8)[:total_bytes].tobytes()
+    return np.ascontiguousarray(w).view(np.uint8)[:total_bytes]
 
 
 def pack_lanes_words(residuals, k, nvalid, is_raw, NW: int):

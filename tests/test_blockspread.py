@@ -21,7 +21,8 @@ def _pack(residuals, k, nvalid, is_raw):
     total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4) if L else 0
     NW = blockspread.bucket_words(-(-total // 4))
     words = blockspread.pack_stage2(NW=NW, **stage)
-    stream = np.asarray(words).byteswap().view(np.uint8)
+    # pack_stage2 byte-swaps on device: the LE view IS the byte stream.
+    stream = np.asarray(words).view(np.uint8)
     return stream, lane_bytes, lane_off, np.asarray(bad_d)
 
 
@@ -129,7 +130,7 @@ class TestBlockSpread:
         total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
         NW = blockspread.bucket_words(total // 4)
         words = blockspread.pack_stage2(NW=NW, **stage)
-        buf = np.asarray(words).byteswap().view(np.uint8).tobytes()
+        buf = np.asarray(words).view(np.uint8).tobytes()
 
         expect = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
         got_np = blockspread._unpack_fixed_np(
