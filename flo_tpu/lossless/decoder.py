@@ -284,11 +284,23 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             fhi_f = min(flo_f + f_half, F_tot)
             handles.append(dispatch(flo_f, fhi_f))
 
+        # Per-lane interleaved output bases: the group's files concatenate
+        # into one flat f32 buffer (per-file results are zero-copy views);
+        # frame f's samples interleave over channels at frame_base[f].
+        flens64 = frame_lengths_all.astype(np.int64)
+        frame_base = np.zeros(F_tot, np.int64)
+        np.cumsum(flens64[:-1] * channels, out=frame_base[1:])
+        lane_base = (
+            frame_base[:, None] + np.arange(channels, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        group_nsamp = int(flens64.sum() * channels)
+
         # NB: group-level names the deferred closure touches are bound via
         # default args — the loop rebinds them for the next channel group
         # before collect() runs.
         def collect(handles=handles, group=group, channels=channels,
-                    lane_nvalid=lane_nvalid, S_max=S_max):
+                    lane_nvalid=lane_nvalid, S_max=S_max,
+                    lane_base=lane_base, group_nsamp=group_nsamp):
             # Phase 1: start every chunk's payload download (async) so later
             # chunks' bytes stream while earlier chunks host-unpack.
             from ..ops import blockspread
@@ -309,27 +321,25 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 started.append(
                     (h, total_bytes, 4 * woff[:-1], modes_d, widths_d, lo, hi)
                 )
-            chunks = []
+            # Every lane writes its f32 samples straight into the group
+            # buffer (fused C++ parse+scale+interleave); lane regions tile
+            # the buffer exactly, so np.empty is safe.
+            group_out = np.empty(group_nsamp, np.float32)
             for h, total, dn_off, modes_d, widths_d, lo, hi in started:
                 packed = blockspread.fetch_words_finish(h, total)
-                part = blockspread.unpack_fixed_host(
-                    packed, np.asarray(modes_d).astype(np.uint8)[: hi - lo],
-                    np.asarray(widths_d).astype(np.uint8)[: hi - lo],
+                blockspread.unpack_fixed_f32_into(
+                    packed, np.asarray(modes_d)[: hi - lo],
+                    np.asarray(widths_d)[: hi - lo],
                     dn_off[: hi - lo],
-                    lane_nvalid[lo:hi].astype(np.int64), S_max,
+                    lane_nvalid[lo:hi], S_max,
+                    lane_base[lo:hi], channels,
+                    1.0 / 32767.0, group_out,
                 )
-                chunks.append(part.reshape(-1, channels, S_max))
-            fcs_all = np.concatenate(chunks)  # [F_tot, C, S_max]
-
-            foff = 0
+            pos = 0
             for i, m in group:
-                n_frames = m[0].shape[0] // channels
-                S, frame_lengths = m[6], m[7]
-                fcs = fcs_all[foff : foff + n_frames, :, :S]
-                foff += n_frames
-                parts = [fcs[j, :, : frame_lengths[j]].T for j in range(n_frames)]
-                ints = np.concatenate(parts, axis=0)
-                outs[i] = i32_to_f32_np(ints).reshape(-1)
+                n = int(m[7].sum()) * channels
+                outs[i] = group_out[pos : pos + n]
+                pos += n
 
         collectors.append(collect)
 
@@ -397,6 +407,11 @@ def decode_file_host(flo: FloFile) -> np.ndarray:
         rows, coeffs, shifts, orders, is_fixed, np.repeat(frame_lengths, channels)
     ):
         return decode_file(flo)
+    out = native.midside_interleave_f32(
+        rows, mid_side, frame_lengths.astype(np.int64), channels, 1.0 / 32767.0
+    )
+    if out is not None:
+        return out
     fcs = _undo_midside_host(rows.reshape(-1, channels, S), mid_side, channels)
     parts = [fcs[i, :, : frame_lengths[i]].T for i in range(fcs.shape[0])]
     ints = np.concatenate(parts, axis=0)

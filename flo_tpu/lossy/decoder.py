@@ -270,19 +270,35 @@ def decode_many_async(
             started.append(
                 (lo, hi, nv, hp, total, 4 * woff[:-1], modes_d, widths_d)
             )
+        # Fused finalizer: each lane (file, frame t, channel c) writes its
+        # f32 samples interleaved straight into the batch output buffer;
+        # pre-roll frames (t=0), missing frame tails, and mesh-padding files
+        # get base -1 and are never parsed. Per-file results are zero-copy
+        # views of the buffer.
+        T_out = np.maximum(counts - 1, 0)  # frames after pre-roll drop
+        file_base = np.zeros(N + 1, np.int64)
+        np.cumsum(T_out * n2 * C, out=file_base[1:])
+        batch_out = np.empty(int(file_base[-1]), np.float32)
         for lo, hi, nv, hp, total, dn_off, modes_d, widths_d in started:
             packed = blockspread.fetch_words_finish(hp, total)
-            rows = blockspread.unpack_fixed_host(
-                packed, np.asarray(modes_d).astype(np.uint8),
-                np.asarray(widths_d).astype(np.uint8), dn_off,
-                nv.astype(np.int64), n2,
-            )  # [(hi-lo+pad)*T*C, n2]
-            # [:hi-lo]: drop inert mesh-padding files (zero rows, tail).
-            segs = np.moveaxis(rows.reshape(-1, t_max, C, n2)[: hi - lo], 2, 3)
-            segs = segs.astype(np.float32) * np.float32(1.0 / 32767.0)
+            n_lanes = len(nv)  # (hi-lo+pad)*t_max*C
+            base = np.full(n_lanes, -1, np.int64)
             for i in range(lo, hi):
-                # drop each file's pre-roll frame
-                outs[i] = segs[i - lo, 1 : len(parsed_files[i])].reshape(-1)
+                Ti = int(counts[i])
+                if Ti <= 1:
+                    continue
+                f0 = (i - lo) * t_max * C
+                t = np.arange(1, Ti, dtype=np.int64)[:, None]
+                c = np.arange(C, dtype=np.int64)[None, :]
+                base[f0 + (t * C + c).reshape(-1)] = (
+                    file_base[i] + ((t - 1) * n2 * C + c)
+                ).reshape(-1)
+            blockspread.unpack_fixed_f32_into(
+                packed, np.asarray(modes_d), np.asarray(widths_d), dn_off,
+                nv, n2, base, C, 1.0 / 32767.0, batch_out,
+            )
+        for i in range(N):
+            outs[i] = batch_out[file_base[i] : file_base[i + 1]]
         return outs
 
     return BulkFuture(fin)

@@ -33,6 +33,7 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 _i16p = ctypes.POINTER(ctypes.c_int16)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _f64p = ctypes.POINTER(ctypes.c_double)
+_f32p = ctypes.POINTER(ctypes.c_float)
 
 _SIGNATURES = {
     "rice": {
@@ -63,6 +64,14 @@ _SIGNATURES = {
         "blockpack_unpack_msb": [
             _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             ctypes.c_int64, _i32p,
+        ],
+        "blockpack_unpack_msb_f32": [
+            _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
+            _i64p, ctypes.c_int64, ctypes.c_float, _f32p,
+        ],
+        "midside_interleave_f32": [
+            _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _u8p,
+            _i64p, ctypes.c_float, _f32p,
         ],
     },
     "sparse": {
@@ -326,6 +335,55 @@ def blockpack_unpack_msb(buf, lane_off, modes, widths, nvalid, S: int):
             _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
             L, nblk, _ptr(nvalid, ctypes.c_int64), S,
             _ptr(out, ctypes.c_int32),
+        )
+    return out
+
+
+def blockpack_unpack_msb_f32(
+    buf, lane_off, modes, widths, nvalid, out_base, out_step: int,
+    scale: float, out: np.ndarray,
+) -> bool:
+    """Fused decode finalizer: parse the MSB-first block-spread stream and
+    write f32 interleaved samples directly — lane l's sample j at
+    ``out[out_base[l] + j*out_step]``, scaled by ``scale``; ``out_base < 0``
+    skips the lane (pre-roll / padding, bytes never parsed). Returns False
+    when the native lib is unavailable (caller takes the numpy path)."""
+    lib = _load("blockpack")
+    if lib is None or not hasattr(lib, "blockpack_unpack_msb_f32"):
+        return False
+    L, nblk = widths.shape
+    assert out.dtype == np.float32 and out.flags.c_contiguous
+    if L:
+        lib.blockpack_unpack_msb_f32(
+            _ptr(buf, ctypes.c_uint8), _ptr(lane_off, ctypes.c_int64),
+            _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
+            L, nblk, _ptr(nvalid, ctypes.c_int64),
+            _ptr(out_base, ctypes.c_int64), out_step,
+            ctypes.c_float(scale), _ptr(out, ctypes.c_float),
+        )
+    return True
+
+
+def midside_interleave_f32(rows, mid_side, frame_lengths, channels: int,
+                           scale: float):
+    """Single-file decode finalizer: mid/side undo + interleave + i32->f32
+    in one C++ pass over reconstructed rows [F*C, S]. Returns the flat f32
+    array, or None when the native lib is unavailable."""
+    lib = _load("blockpack")
+    if lib is None or not hasattr(lib, "midside_interleave_f32"):
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    FC, S = rows.shape
+    F = FC // max(channels, 1)
+    mid_side = np.ascontiguousarray(mid_side, np.uint8)
+    frame_lengths = np.ascontiguousarray(frame_lengths, np.int64)
+    out = np.empty(int(frame_lengths.sum()) * channels, np.float32)
+    if F:
+        lib.midside_interleave_f32(
+            _ptr(rows, ctypes.c_int32), F, channels, S,
+            _ptr(mid_side, ctypes.c_uint8),
+            _ptr(frame_lengths, ctypes.c_int64),
+            ctypes.c_float(scale), _ptr(out, ctypes.c_float),
         )
     return out
 

@@ -221,4 +221,91 @@ void blockpack_unpack_msb(const uint8_t* buf, const int64_t* lane_off,
     }
 }
 
+// Fused decode finalizer: blockpack_unpack_msb + i32->f32 scale +
+// channel interleave in ONE pass over the payload. Lane l's sample j lands
+// at out[out_base[l] + j*out_step] (out_step = channel count, out_base
+// encodes file/frame/channel position); out_base[l] < 0 skips the lane
+// entirely (pre-roll frames, mesh-padding files) — its bytes are never
+// parsed. Replaces the host chain concatenate -> per-frame transposed
+// slices -> astype(f32) -> multiply (~4 strided passes over the full PCM
+// on this single-core host).
+void blockpack_unpack_msb_f32(const uint8_t* buf, const int64_t* lane_off,
+                              const uint8_t* modes, const uint8_t* widths,
+                              int64_t L, int64_t nblk, const int64_t* nvalid,
+                              const int64_t* out_base, int64_t out_step,
+                              float scale, float* out) {
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t l = 0; l < L; ++l) {
+        if (out_base[l] < 0) continue;
+        const int64_t n = nvalid[l];
+        const int mode = modes[l];
+        const uint8_t* wl = widths + l * nblk;
+        const uint8_t* src = buf + lane_off[l];
+        float* dst = out + out_base[l];
+        uint64_t acc = 0;
+        int nbits = 0;
+        uint32_t c1 = 0, c2 = 0;
+        for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
+            const int w = wl[b];
+            const uint32_t mask = w >= 32 ? 0xFFFFFFFFu : ((1u << w) - 1u);
+            const int64_t j0 = b * BLK;
+            for (int64_t j = j0; j < j0 + BLK; ++j) {
+                uint32_t z = 0;
+                if (w) {
+                    while (nbits < w) {
+                        acc |= static_cast<uint64_t>(*src++) << (56 - nbits);
+                        nbits += 8;
+                    }
+                    z = static_cast<uint32_t>(acc >> (64 - w)) & mask;
+                    acc <<= w;
+                    nbits -= w;
+                }
+                const uint32_t v =
+                    (z >> 1) ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
+                c1 += v;
+                c2 += c1;
+                if (j < n)
+                    dst[j * out_step] =
+                        static_cast<float>(static_cast<int32_t>(
+                            mode == 0 ? v : (mode == 1 ? c1 : c2))) * scale;
+            }
+        }
+    }
+}
+
+// Single-file decode finalizer: mid/side undo + channel interleave +
+// i32->f32 scale in one pass over reconstructed rows [F*C, S] (frame-major,
+// channel rows contiguous). Frame f contributes frame_lengths[f] samples;
+// outputs concatenate. Mid/side (C==2 only, decoder.rs:75-89) uses Rust's
+// truncating `/ 2` — C++ integer division truncates toward zero, in i64 to
+// survive the i32+i32 sum.
+void midside_interleave_f32(const int32_t* rows, int64_t F, int64_t C,
+                            int64_t S, const uint8_t* mid_side,
+                            const int64_t* frame_lengths, float scale,
+                            float* out) {
+    int64_t base = 0;
+    for (int64_t f = 0; f < F; ++f) {
+        const int64_t n = frame_lengths[f];
+        const int32_t* r0 = rows + f * C * S;
+        if (C == 2 && mid_side[f]) {
+            const int32_t* rm = r0;
+            const int32_t* rs = r0 + S;
+            for (int64_t j = 0; j < n; ++j) {
+                const int64_t m = rm[j], s = rs[j];
+                out[base + 2 * j] = static_cast<float>(
+                    static_cast<int32_t>((m + s) / 2)) * scale;
+                out[base + 2 * j + 1] = static_cast<float>(
+                    static_cast<int32_t>((m - s) / 2)) * scale;
+            }
+        } else {
+            for (int64_t c = 0; c < C; ++c) {
+                const int32_t* rc = r0 + c * S;
+                for (int64_t j = 0; j < n; ++j)
+                    out[base + j * C + c] = static_cast<float>(rc[j]) * scale;
+            }
+        }
+        base += n * C;
+    }
+}
+
 }  // extern "C"

@@ -395,6 +395,40 @@ def unpack_fixed_host(buf, modes, widths, lane_off, nvalid, S: int):
     return out
 
 
+def unpack_fixed_f32_into(
+    buf, modes, widths, lane_off, nvalid, S: int,
+    out_base, out_step: int, scale: float, out: np.ndarray,
+) -> None:
+    """Fused decode finalizer: parse the fixed-width stream and write f32
+    interleaved samples in ONE host pass — lane l's sample j lands at
+    ``out[out_base[l] + j*out_step]`` scaled by ``scale``; ``out_base < 0``
+    skips the lane without parsing (pre-roll frames, mesh padding). One C++
+    pass replaces unpack -> concatenate -> per-frame transpose -> astype ->
+    multiply (~4 strided passes over the full PCM on this 1-core host)."""
+    from .. import native
+
+    modes = np.ascontiguousarray(modes, np.uint8)
+    widths = np.ascontiguousarray(widths, np.uint8)
+    lane_off = np.ascontiguousarray(lane_off, np.int64)
+    nvalid = np.ascontiguousarray(nvalid, np.int64)
+    out_base = np.ascontiguousarray(out_base, np.int64)
+    if native.blockpack_unpack_msb_f32(
+        _as_u8(buf), lane_off, modes, widths, nvalid,
+        out_base, int(out_step), float(scale), out,
+    ):
+        return
+    rows = _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S)
+    step = int(out_step)
+    for l in range(rows.shape[0]):
+        b = int(out_base[l])
+        if b < 0:
+            continue
+        n = int(nvalid[l])
+        out[b : b + n * step : step] = (
+            rows[l, :n].astype(np.float32) * np.float32(scale)
+        )
+
+
 def _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S: int):
     b = _as_u8(buf)
     need = int(np.max(lane_off + widths.astype(np.int64).sum(1) * 32, initial=0)) + 8

@@ -142,6 +142,39 @@ class TestBlockSpread:
         )
         np.testing.assert_array_equal(got, expect)
 
+        # Fused f32 finalizer: interleave lanes 0..L-1 as "channels" of one
+        # frame (step=L), skip lane 5 (base -1); vs the i32 rows oracle.
+        step = L
+        out_base = np.arange(L, dtype=np.int64)
+        out_base[5] = -1
+        out = np.zeros(L * S, np.float32)
+        scale = 1.0 / 32767.0
+        blockspread.unpack_fixed_f32_into(
+            buf, modes_h, widths_h, lane_off, nvalid, S,
+            out_base, step, scale, out,
+        )
+        want = np.zeros((S, L), np.float32)
+        for l in range(L):
+            if l == 5:
+                continue
+            want[: int(nvalid[l]), l] = (
+                expect[l, : int(nvalid[l])].astype(np.float32)
+                * np.float32(scale)
+            )
+        np.testing.assert_array_equal(out.reshape(S, L), want)
+        # and the numpy fallback path agrees
+        out2 = np.zeros(L * S, np.float32)
+        from unittest import mock
+
+        with mock.patch(
+            "flo_tpu.native.blockpack_unpack_msb_f32", return_value=False
+        ):
+            blockspread.unpack_fixed_f32_into(
+                buf, modes_h, widths_h, lane_off, nvalid, S,
+                out_base, step, scale, out2,
+            )
+        np.testing.assert_array_equal(out2, out)
+
     def test_patch_overflow_flags_bad(self):
         """More long codes than PATCH_CAP -> affected lanes flagged bad."""
         L, S = 2, blockspread.PATCH_CAP + 64
