@@ -358,6 +358,19 @@ def pack_fixed_stage1(rows, nvalid):
     w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
     z = jnp.where(m2[:, :], z2, jnp.where(m1[:, :], z1, z0))
 
+    # INTERIOR zero-width blocks would break the spread's empty-block
+    # handling: _spread_codes parks an empty block's cumsum deltas at the
+    # lane END word (correct for trailing empties and whole-empty lanes,
+    # where that word coincides with the next real block's start), but an
+    # empty block FOLLOWED by data in the same lane starves the word-domain
+    # cumsum for every later word — mid-lane silence decoded as zeros. The
+    # Rice transport cannot produce interior empties (every valid code is
+    # >= 1 bit); here, bump interior zero blocks to 1-bit codes (32 bytes
+    # per 256 zeros). Trailing zeros and all-silent lanes keep width 0.
+    w = jnp.where(
+        (w == 0) & (jax.lax.cummax(w, axis=1, reverse=True) > 0), 1, w
+    )
+
     clen = jnp.repeat(w, BLKW, axis=1)  # every code in a block at width w
     wu = jnp.clip(clen, 1, 32).astype(jnp.uint32)
     pattern = jnp.where(clen > 0, z << (jnp.uint32(32) - wu), jnp.uint32(0))

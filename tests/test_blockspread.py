@@ -175,6 +175,41 @@ class TestBlockSpread:
             )
         np.testing.assert_array_equal(out2, out)
 
+    def test_fixed_width_interior_silence(self):
+        """Leading/mid-lane zero regions -> interior zero-width blocks. The
+        spread's empty-block deferral only handles TRAILING empties; interior
+        ones must be bumped to 1-bit codes or later words in the lane decode
+        as zeros (regression: half-silent frames decoded all-zero)."""
+        import jax
+
+        rng = np.random.default_rng(21)
+        L, S = 3, 4096
+        rows = np.zeros((L, S), np.int32)
+        rows[0, 2048:] = rng.integers(-20000, 20000, 2048)  # leading silence
+        rows[1, :1024] = rng.integers(-500, 500, 1024)      # mid silence
+        rows[1, 3072:] = rng.integers(-500, 500, 1024)
+        rows[2, :] = 0                                      # all silent: w=0
+        nvalid = np.array([S, S, S], np.int64)
+
+        stage, modes, widths, lane_bytes, lane_off = jax.jit(
+            blockspread.pack_fixed_stage1
+        )(jnp.asarray(rows), jnp.asarray(nvalid))
+        widths_h = np.asarray(widths).astype(np.uint8)
+        assert (widths_h[2] == 0).all()  # all-silent lane stays 0 bytes
+        assert (widths_h[0][: 2048 // blockspread.BLKW] >= 1).all()  # bumped
+        lane_off = np.asarray(lane_off).astype(np.int64)
+        lane_bytes = np.asarray(lane_bytes)
+        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
+        NW = blockspread.bucket_words(max(total // 4, 1))
+        words = blockspread.pack_stage2(NW=NW, **stage)
+        buf = np.asarray(words).view(np.uint8).tobytes()
+        for unpack in (blockspread.unpack_fixed_host, blockspread._unpack_fixed_np):
+            got = unpack(
+                buf, np.asarray(modes).astype(np.uint8), widths_h,
+                lane_off, nvalid, S,
+            )
+            np.testing.assert_array_equal(got, rows)
+
     def test_patch_overflow_flags_bad(self):
         """More long codes than PATCH_CAP -> affected lanes flagged bad."""
         L, S = 2, blockspread.PATCH_CAP + 64

@@ -54,6 +54,25 @@ class TestBulkLossless:
         assert all(fr.frame_type == 0 for fr in f0.frames)
         assert reader.read(out[2]).header.total_samples == 0
 
+    def test_half_silent_frame_roundtrip(self, files):
+        """A frame silent in its first half exercises interior zero-width
+        blocks in the download transport (regression: decoded all-zero; the
+        spread's empty-block deferral only handled trailing empties)."""
+        rate, fs = files
+        rng = np.random.default_rng(5)
+        a = (rng.standard_normal(rate * 2) * 0.3).astype(np.float32)
+        a[: rate] = 0.0          # first half of the single frame silent
+        b = (rng.standard_normal(rate * 2) * 0.3).astype(np.float32)
+        b[rate // 2 : rate] = 0.0  # and one with mid-frame silence
+        from flo_tpu.core.convert import i32_to_f32_np
+
+        blobs = lle.encode_many([a, b], rate, 2, 16, 5)
+        decs = lld.decode_many([reader.read(x) for x in blobs])
+        for src, d in zip([a, b], decs):
+            np.testing.assert_allclose(
+                d, i32_to_f32_np(f32_to_i32_np(src)), atol=1 / 32768 + 1e-6
+            )
+
 
 class TestDeviceAnalysis:
     """analysis='device': zero host analysis, still bit-exact round-trips."""
