@@ -42,6 +42,7 @@ from ..core.constants import (
     FIXED_PREDICTOR_MARKER,
     FRAME_FLAG_MID_SIDE,
     FrameType,
+    I16_MAX_F32,
     LPC_ORDER_BY_LEVEL,
     MIN_LEVEL_FOR_LPC,
     ResidualEncoding,
@@ -120,7 +121,16 @@ def encode_many_to_frames_async(
     kinds, cand_orders, max_order = _candidate_plan(compression_level)
     NC = len(kinds)
 
-    per_file = []  # (num_frames, frame_samples, silent, fsc int32)
+    from .. import native
+
+    # Worst-case lane allocation: every frame active. The fused C++ marshal
+    # (native.encode_marshal_f32) writes each file's non-silent frames
+    # compactly at a running row offset — interleaved f32 -> lane-major i32
+    # + silence detection in ONE host pass (replacing astype+pad, the |x|
+    # silence pass, f32->i32's temporaries, np.stack, and the lane moveaxis:
+    # ~6 passes over the full PCM on this single-core host).
+    metas = []  # (flat, is_int, total, num_frames)
+    F_sum = 0
     for samples in samples_list:
         arr = np.asarray(samples)
         # Integer input is taken as the i32 sample domain directly (no f32
@@ -131,29 +141,49 @@ def encode_many_to_frames_async(
         flat = arr.reshape(-1)
         total = len(flat) // C
         num_frames = -(-total // spf) if total else 0
-        if num_frames == 0:
-            per_file.append((0, np.zeros(0, np.int64), np.zeros(0, bool), None))
-            continue
-        if is_int:
-            padded = np.zeros(num_frames * spf * C, dtype=np.int32)
-            padded[: total * C] = flat[: total * C]
-            fsc = padded.reshape(num_frames, spf, C)
-            silent = (fsc == 0).all(axis=(1, 2))
-        else:
-            padded = np.zeros(num_frames * spf * C, dtype=np.float32)
-            padded[: total * C] = flat[: total * C].astype(np.float32)
-            f32 = padded.reshape(num_frames, spf, C)
-            silent = (np.abs(f32) < SILENCE_THRESHOLD).all(axis=(1, 2))
-            fsc = f32_to_i32_np(f32)
-        frame_samples = np.full(num_frames, spf, dtype=np.int64)
-        frame_samples[-1] = total - (num_frames - 1) * spf
-        per_file.append((num_frames, frame_samples, silent, fsc))
+        metas.append((flat, is_int, total, num_frames))
+        F_sum += num_frames
 
+    lanes_batch = np.empty((F_sum * C, spf), np.int32)
+    row = 0
     all_frames: List[List[Frame]] = []
-    active_fsc = []
     active_nvalid = []
     active_slots = []  # (file_idx, frame_idx)
-    for fidx, (num_frames, frame_samples, silent, fsc) in enumerate(per_file):
+    for fidx, (flat, is_int, total, num_frames) in enumerate(metas):
+        if num_frames == 0:
+            all_frames.append([])
+            continue
+        frame_samples = np.full(num_frames, spf, dtype=np.int64)
+        frame_samples[-1] = total - (num_frames - 1) * spf
+        res = None
+        if not is_int:
+            flat32 = np.ascontiguousarray(flat[: total * C], np.float32)
+            res = native.encode_marshal_f32(
+                flat32, total, C, spf, SILENCE_THRESHOLD,
+                float(I16_MAX_F32), lanes_batch, row,
+            )
+        if res is not None:
+            n_act, silent, active_idx = res
+        else:
+            # numpy fallback; also the integer-domain ingest path (silence
+            # there is exact zeroness, not the f32 threshold).
+            if is_int:
+                padded = np.zeros(num_frames * spf * C, dtype=np.int32)
+                padded[: total * C] = flat[: total * C]
+                fsc = padded.reshape(num_frames, spf, C)
+                silent = (fsc == 0).all(axis=(1, 2))
+            else:
+                padded = np.zeros(num_frames * spf * C, dtype=np.float32)
+                padded[: total * C] = flat[: total * C].astype(np.float32)
+                f32 = padded.reshape(num_frames, spf, C)
+                silent = (np.abs(f32) < SILENCE_THRESHOLD).all(axis=(1, 2))
+                fsc = f32_to_i32_np(f32)
+            active_idx = np.flatnonzero(~silent)
+            n_act = len(active_idx)
+            if n_act:
+                lanes_batch[row : row + n_act * C] = np.ascontiguousarray(
+                    np.moveaxis(fsc[active_idx], 2, 1)
+                ).reshape(-1, spf)
         frames: List[Frame] = [None] * num_frames  # type: ignore[list-item]
         for fi in np.flatnonzero(silent):
             frames[fi] = Frame(
@@ -162,20 +192,20 @@ def encode_many_to_frames_async(
                 channels=[ChannelData.silence() for _ in range(C)],
             )
         all_frames.append(frames)
-        for fi in np.flatnonzero(~silent):
-            active_fsc.append(fsc[fi])
+        for fi in active_idx:
             active_nvalid.append(frame_samples[fi])
             active_slots.append((fidx, int(fi)))
+        row += n_act * C
     if not active_slots:
         return BulkFuture(lambda: all_frames)
 
-    fsc_batch = np.stack(active_fsc)  # [F', S, C]
+    lanes_batch = lanes_batch[:row]  # [F'*C, S] lane-major, frame-compacted
     nvalid_f = np.asarray(active_nvalid, dtype=np.int64)
 
     from ..parallel import pipeline as _pp
 
     states = _dispatch_active_frames(
-        fsc_batch, nvalid_f, C, kinds, cand_orders, analysis,
+        lanes_batch, nvalid_f, C, kinds, cand_orders, analysis,
         mesh=_pp.active_mesh(mesh),
     )
 
@@ -220,20 +250,21 @@ PIPELINE_CHUNKS = 2
 
 
 def _dispatch_active_frames(
-    fsc, frame_samples, C, kinds, cand_orders, analysis: str = "exact", mesh=None
+    lanes, frame_samples, C, kinds, cand_orders, analysis: str = "exact", mesh=None
 ):
-    """Dispatch a batch of non-silent frames [F', S, C] as PIPELINE_CHUNKS
-    sub-batches; returns the per-chunk states for _collect_chunk.
+    """Dispatch a batch of non-silent frames (lane-major [F'*C, S], frame
+    f's channel c at row f*C+c) as PIPELINE_CHUNKS sub-batches; returns the
+    per-chunk states for _collect_chunk.
 
     analysis: "exact" (host i64-equivalent autocorrelation + f64 Levinson —
     reference-parity coefficient generation) or "device" (everything on
     device in f32 — zero host analysis; round-trips stay bit-exact, ratios
     may drift marginally).
     """
-    Fa = fsc.shape[0]
+    Fa = lanes.shape[0] // C
     G = PIPELINE_CHUNKS if Fa >= 2 * PIPELINE_CHUNKS else 1
     # Keep every chunk under the device packer's int32 bit-index bound.
-    G = max(G, -(-(Fa * C * fsc.shape[1]) // ricepack.MAX_BATCH_SAMPLES))
+    G = max(G, -(-(lanes.shape[0] * lanes.shape[1]) // ricepack.MAX_BATCH_SAMPLES))
     chunk = -(-Fa // G)
     states = []
     for g in range(G):
@@ -242,8 +273,8 @@ def _dispatch_active_frames(
             continue
         states.append(
             _dispatch_chunk(
-                fsc[lo:hi], frame_samples[lo:hi], C, kinds, cand_orders, analysis,
-                mesh=mesh,
+                lanes[lo * C : hi * C], frame_samples[lo:hi], C, kinds,
+                cand_orders, analysis, mesh=mesh,
             )
         )
     return states
@@ -258,23 +289,25 @@ def _pad_frames(arr, pad_f, axis=0):
     return np.pad(arr, widths)
 
 
-def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
-                    mesh=None):
+def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
+                    analysis="exact", mesh=None):
     """Host marshal + async device dispatch for one sub-batch.
 
-    fsc: [F', S, C] int32 samples (framing converts f32 inputs upstream).
+    lanes_in: lane-major [F'*C, S] int32 samples — frame f's channel c at
+    row f*C+c (the fused marshal emits this layout directly; both branches
+    below consume it without a transpose copy).
     Under a mesh, the frame axis is padded to a mesh multiple (padding frames
     are nvalid=0 -> zero-byte raw winners at the lane tail) and every batch
     array is uploaded with the 'batch' sharding; small inputs replicate."""
     from ..parallel import pipeline as _pp
 
     NC = len(kinds)
-    spf = fsc.shape[1]
+    spf = lanes_in.shape[1]
+    n_frames = lanes_in.shape[0] // C
     max_order = max(
         (o for kd, o in zip(kinds, cand_orders) if kd == "lpc"), default=0
     )
-    ints = fsc  # [F', S, C]
-    pad_f = _pp.pad_batch(fsc.shape[0], mesh) - fsc.shape[0]
+    pad_f = _pp.pad_batch(n_frames, mesh) - n_frames
     pb = lambda x: _pp.put_batch(x, mesh)
     pr = lambda x: _pp.put_replicated(x, mesh)
 
@@ -285,7 +318,7 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
         from ..ops import blockpack
         from .decoder import _bucket_bytes
 
-        lanes_pcm = np.ascontiguousarray(np.moveaxis(ints, 2, 1)).reshape(-1, spf)
+        lanes_pcm = lanes_in  # already lane-major, no transpose copy
         nv_lane = np.repeat(frame_samples, C).astype(np.int64)
         buf, modes_up, widths_up, lane_off_up = blockpack.pack_host(lanes_pcm, nv_lane)
         payload_end = len(buf) - blockpack.PAD_BYTES  # 4-aligned
@@ -315,11 +348,11 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
             "nvalid": np.repeat(frame_samples, C).astype(np.int32),
             "frame_samples": frame_samples,
             "mid_side": None,
-            "Fa": fsc.shape[0],
-            "L": fsc.shape[0] * C,
+            "Fa": n_frames,
+            "L": n_frames * C,
         }
-    ch = np.ascontiguousarray(np.moveaxis(ints, 2, 1))  # [F', C, S] int32
-    Fa = fsc.shape[0]
+    ch = lanes_in.reshape(n_frames, C, spf)  # view — already lane-major
+    Fa = n_frames
     nvalid_f = frame_samples
 
     mid_side = np.zeros(Fa, dtype=bool)
@@ -363,7 +396,7 @@ def _dispatch_chunk(fsc, frame_samples, C, kinds, cand_orders, analysis="exact",
     is_lpc = tuple(kd == "lpc" for kd in kinds)
     # i16 upload + entropy-packed download (see ops/select.py); pcm is
     # i16-representable by construction (f32_to_i32 clamps to [-32768, 32767]).
-    pcm16 = np.moveaxis(ints, 2, 1).astype(np.int16)
+    pcm16 = lanes_in.reshape(Fa, C, spf).astype(np.int16)
     device_out = encode_select_pcm16(
         pb(_pad_frames(pcm16, pad_f)),
         pb(_pad_frames(mid_side, pad_f)),

@@ -114,18 +114,16 @@ def _encode_packed_compact(buf, modes, widths, lane_off, nvalid,
     return _encode_padded_compact(padded, sample_rate, thr)
 
 
-def _dispatch_packed(stacked_f32, used, sample_rate: int, thr, mesh=None):
-    """Host side of the packed transport: quantize the [Lc, W] f32 signal to
-    i16 (round; <= 1.5e-5 — below every preset's codec noise), block-pack
-    (one C++ pass), dispatch the packed program."""
+def _dispatch_packed(rows, used, sample_rate: int, thr, mesh=None):
+    """Host side of the packed transport: block-pack the pre-quantized
+    [Lc, W] i32 rows (one C++ pass; the i16 rounding — <= 1.5e-5, below
+    every preset's codec noise — happened in the fused marshal), dispatch
+    the packed program."""
     from ..lossless.decoder import _bucket_bytes
     from ..ops import blockpack
     from ..parallel import pipeline as _pp
 
-    Lc, W = stacked_f32.shape
-    rows = np.clip(
-        np.rint(stacked_f32 * np.float32(32767.0)), -32768, 32767
-    ).astype(np.int32)
+    Lc, W = rows.shape
     buf, modes, widths, lane_off = blockpack.pack_host(rows, used)
     payload_end = len(buf) - blockpack.PAD_BYTES
     nb = _bucket_bytes(len(buf))
@@ -222,17 +220,44 @@ def encode_many_to_frames_async(
     mesh = _pp.active_mesh(mesh)
     C = int(channels)
     packed_wire = isinstance(transport_dtype, str) and transport_dtype in ("packed", "rice16")
-    per_file = [_file_padded(s, C) for s in samples_list]
-    t_max = max((nh for _, nh in per_file), default=0)
-    if t_max == 0:
-        return BulkFuture(lambda: [[] for _ in samples_list])
-    N = len(per_file)
-    stacked = np.zeros(
-        (N * C, (t_max + 1) * HOP),
-        dtype=np.float32 if packed_wire else transport_dtype,
-    )
-    for i, (padded, nh) in enumerate(per_file):
-        stacked[i * C : (i + 1) * C, : padded.shape[1]] = padded
+    if packed_wire:
+        # Fused marshal: each file's interleaved f32 goes straight to
+        # pre-rolled i16-rounded i32 rows in one C++ pass (deinterleave +
+        # rint + clamp; native.lossy_marshal_f32), replacing the per-file
+        # padded copy and the batch rint/clip/astype temporaries.
+        from .. import native
+
+        flats = []
+        hops = []
+        for s in samples_list:
+            arr = np.asarray(s, dtype=np.float32).reshape(-1)
+            n = len(arr) // C
+            flats.append((arr, n))
+            hops.append(-(-(n + HOP) // HOP))
+        t_max = max(hops, default=0)
+        if t_max == 0:
+            return BulkFuture(lambda: [[] for _ in samples_list])
+        N = len(flats)
+        stacked = np.zeros((N * C, (t_max + 1) * HOP), np.int32)
+        for i, (arr, n) in enumerate(flats):
+            flat32 = np.ascontiguousarray(arr[: n * C])
+            if not native.lossy_marshal_f32(
+                flat32, n, C, HOP, 32767.0, stacked[i * C : (i + 1) * C]
+            ):
+                padded, _nh = _file_padded(arr, C)
+                stacked[i * C : (i + 1) * C, : padded.shape[1]] = np.clip(
+                    np.rint(padded * np.float32(32767.0)), -32768, 32767
+                ).astype(np.int32)
+    else:
+        per_file = [_file_padded(s, C) for s in samples_list]
+        hops = [nh for _, nh in per_file]
+        t_max = max(hops, default=0)
+        if t_max == 0:
+            return BulkFuture(lambda: [[] for _ in samples_list])
+        N = len(per_file)
+        stacked = np.zeros((N * C, (t_max + 1) * HOP), dtype=transport_dtype)
+        for i, (padded, nh) in enumerate(per_file):
+            stacked[i * C : (i + 1) * C, : padded.shape[1]] = padded
 
     # Double-buffer over two file sub-batches (second chunk's upload + MDCT
     # overlap the first chunk's download).
@@ -243,7 +268,7 @@ def encode_many_to_frames_async(
         hi = min(lo + half, N * C)
         if packed_wire:
             used = np.array(
-                [(per_file[(lo + j) // C][1] + 1) * HOP for j in range(hi - lo)],
+                [(hops[(lo + j) // C] + 1) * HOP for j in range(hi - lo)],
                 dtype=np.int64,
             )
             h = _dispatch_packed(stacked[lo:hi], used, int(sample_rate), thr, mesh)
@@ -283,7 +308,7 @@ def encode_many_to_frames_async(
         flat = native.sparse_encode_batch(q.reshape(-1, q.shape[-1]))
 
         out = []
-        for i, (_, nh) in enumerate(per_file):
+        for i, nh in enumerate(hops):
             if flat is not None:
                 payloads = [
                     flat[(i * C + c) * T : (i * C + c) * T + nh] for c in range(C)

@@ -73,6 +73,15 @@ _SIGNATURES = {
             _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _u8p,
             _i64p, ctypes.c_float, _f32p,
         ],
+        "encode_marshal_f32": [
+            _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, ctypes.c_float, _u8p, _i64p,
+            _i32p,
+        ],
+        "lossy_marshal_f32": [
+            _f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_float, _i32p,
+        ],
     },
     "sparse": {
         "sparse_sizes": [_i16p, ctypes.c_int64, ctypes.c_int64, _i64p],
@@ -386,6 +395,51 @@ def midside_interleave_f32(rows, mid_side, frame_lengths, channels: int,
             ctypes.c_float(scale), _ptr(out, ctypes.c_float),
         )
     return out
+
+
+def lossy_marshal_f32(flat, n: int, C: int, hop: int, scale: float,
+                      rows: np.ndarray) -> bool:
+    """One file's interleaved f32 -> pre-rolled i32 channel rows
+    ([C, stride], pre-zeroed) in one pass: sample j of channel c at
+    rows[c, hop+j] = clamp(rint(x*scale)). Returns False when the native
+    lib is unavailable."""
+    lib = _load("blockpack")
+    if lib is None or not hasattr(lib, "lossy_marshal_f32"):
+        return False
+    assert flat.dtype == np.float32 and flat.flags.c_contiguous
+    assert rows.dtype == np.int32 and rows.flags.c_contiguous
+    if n:
+        lib.lossy_marshal_f32(
+            _ptr(flat, ctypes.c_float), n, C, hop, rows.shape[1],
+            ctypes.c_float(scale), _ptr(rows, ctypes.c_int32),
+        )
+    return True
+
+
+def encode_marshal_f32(flat, total: int, C: int, spf: int, thresh: float,
+                       scale: float, lanes: np.ndarray, row0: int):
+    """Bulk-encode marshal: interleaved f32 [total, C] -> compacted
+    lane-major i32 frames written at ``lanes[row0:]`` in one pass, silence
+    detection included. Returns (n_active, silent[F] bool,
+    active_idx[n_active]) or None when the native lib is unavailable."""
+    lib = _load("blockpack")
+    if lib is None or not hasattr(lib, "encode_marshal_f32"):
+        return None
+    lib.encode_marshal_f32.restype = ctypes.c_int64
+    F = -(-total // spf) if total else 0
+    assert flat.dtype == np.float32 and flat.flags.c_contiguous
+    assert lanes.dtype == np.int32 and lanes.flags.c_contiguous
+    silent = np.zeros(F, np.uint8)
+    active_idx = np.zeros(F, np.int64)
+    n_active = 0
+    if F:
+        n_active = lib.encode_marshal_f32(
+            _ptr(flat, ctypes.c_float), total, C, spf, F,
+            ctypes.c_float(thresh), ctypes.c_float(scale),
+            _ptr(silent, ctypes.c_uint8), _ptr(active_idx, ctypes.c_int64),
+            _ptr(lanes[row0:], ctypes.c_int32),
+        )
+    return int(n_active), silent.astype(bool), active_idx[:n_active]
 
 
 # ---------------- Sparse RLE ----------------

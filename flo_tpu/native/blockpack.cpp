@@ -18,6 +18,7 @@
 // All functions are single-pass per lane; OpenMP if available (this image
 // runs them on one core — keep the inner loops tight).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -305,6 +306,68 @@ void midside_interleave_f32(const int32_t* rows, int64_t F, int64_t C,
             }
         }
         base += n * C;
+    }
+}
+
+// Bulk-encode marshal: interleaved f32 -> compacted lane-major i32 frames
+// in ONE pass, with silence detection folded in. Frame fi covers samples
+// [fi*spf, min((fi+1)*spf, total)) of `flat` ([total, C] interleaved);
+// a frame whose every |sample| < thresh is silent (strict <, matching
+// numpy's np.abs(x) < t) and is skipped. Non-silent frames are written
+// compactly: the s-th active frame's channel c becomes lanes row s*C + c
+// ([spf] samples, zero-padded past the frame tail), and active_idx[s]
+// records fi. Conversion is the format's f32_to_i32 contract
+// (core/convert.py / audio_constants.rs): y = x * 32767.0f clamped to
+// [-32768, 32767] in f32, then truncated toward zero (C cast semantics ==
+// Rust `as i32` for in-range values). Returns the active frame count.
+// Replaces astype+pad, |x| silence pass, f32->i32 (3 temporaries),
+// np.stack, and the lane moveaxis copy (~6 host passes over the full PCM).
+int64_t encode_marshal_f32(const float* flat, int64_t total, int64_t C,
+                           int64_t spf, int64_t F, float thresh, float scale,
+                           uint8_t* silent, int64_t* active_idx,
+                           int32_t* lanes) {
+    int64_t s = 0;
+    for (int64_t fi = 0; fi < F; ++fi) {
+        const int64_t j0 = fi * spf;
+        const int64_t n = (j0 + spf < total ? spf : total - j0);
+        const float* src = flat + j0 * C;
+        bool is_silent = true;
+        for (int64_t t = 0; t < n * C && is_silent; ++t)
+            is_silent = (src[t] < thresh) & (src[t] > -thresh);
+        silent[fi] = is_silent;
+        if (is_silent) continue;
+        active_idx[s] = fi;
+        int32_t* dst0 = lanes + s * C * spf;
+        for (int64_t c = 0; c < C; ++c) {
+            int32_t* dst = dst0 + c * spf;
+            for (int64_t j = 0; j < n; ++j) {
+                float y = src[j * C + c] * scale;
+                y = y > 32767.0f ? 32767.0f : (y < -32768.0f ? -32768.0f : y);
+                dst[j] = static_cast<int32_t>(y);
+            }
+            if (n < spf)
+                std::memset(dst + n, 0, (spf - n) * sizeof(int32_t));
+        }
+        ++s;
+    }
+    return s;
+}
+
+// Lossy-encode marshal: one file's interleaved f32 -> pre-rolled i32
+// channel rows in ONE pass. Sample j of channel c lands at
+// rows[c*stride + hop + j] as clamp(rintf(x*scale)) (rintf == np.rint:
+// round-half-to-even under the default FP environment); rows must be
+// pre-zeroed (np.zeros' calloc pages are free until touched). Replaces
+// the per-file deinterleave copy + batch rint/clip/astype (~4 host passes).
+void lossy_marshal_f32(const float* flat, int64_t n, int64_t C, int64_t hop,
+                       int64_t stride, float scale, int32_t* rows) {
+    for (int64_t c = 0; c < C; ++c) {
+        int32_t* dst = rows + c * stride + hop;
+        for (int64_t j = 0; j < n; ++j) {
+            float y = rintf(flat[j * C + c] * scale);
+            y = y > 32767.0f ? 32767.0f : (y < -32768.0f ? -32768.0f : y);
+            dst[j] = static_cast<int32_t>(y);
+        }
     }
 }
 

@@ -151,3 +151,69 @@ def test_empty_batch():
     nvalid = np.zeros(0, np.int64)
     buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
     assert len(buf) == blockpack.PAD_BYTES
+
+
+def test_encode_marshal_f32_matches_numpy():
+    """Fused C++ marshal (interleaved f32 -> compacted lane-major i32 +
+    silence flags) is byte-identical to the numpy reference chain,
+    including clip/truncation boundary values and the partial tail frame."""
+    import pytest
+
+    from flo_tpu import native
+    from flo_tpu.core.constants import I16_MAX_F32, SILENCE_THRESHOLD
+    from flo_tpu.core.convert import f32_to_i32_np
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    C, spf, total = 2, 1000, 3500
+    flat = (rng.standard_normal(total * C) * 0.4).astype(np.float32)
+    flat[1000 * C : 2000 * C] = 0.0  # frame 1 silent
+    flat[:10] = [2.0, -2.0, 1.0, -1.0, 0.99997, -0.99997,
+                 SILENCE_THRESHOLD, -SILENCE_THRESHOLD,
+                 0.5 / 32767, -0.5 / 32767]
+    F = -(-total // spf)
+    lanes = np.empty((F * C, spf), np.int32)
+    res = native.encode_marshal_f32(
+        np.ascontiguousarray(flat), total, C, spf, SILENCE_THRESHOLD,
+        float(I16_MAX_F32), lanes, 0,
+    )
+    assert res is not None
+    n_act, silent, active_idx = res
+
+    padded = np.zeros(F * spf * C, np.float32)
+    padded[: total * C] = flat
+    f32 = padded.reshape(F, spf, C)
+    silent_np = (np.abs(f32) < SILENCE_THRESHOLD).all(axis=(1, 2))
+    fsc = f32_to_i32_np(f32)
+    ai = np.flatnonzero(~silent_np)
+    want = np.ascontiguousarray(np.moveaxis(fsc[ai], 2, 1)).reshape(-1, spf)
+    assert np.array_equal(silent, silent_np)
+    assert np.array_equal(active_idx, ai)
+    np.testing.assert_array_equal(lanes[: n_act * C], want)
+
+
+def test_lossy_marshal_f32_matches_numpy():
+    """Fused lossy marshal (deinterleave + pre-roll + rint-quantize) equals
+    the numpy chain rint/clip/astype on the padded signal."""
+    import pytest
+
+    from flo_tpu import native
+    from flo_tpu.lossy.encoder import HOP, _file_padded
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    C, n = 2, 3 * HOP + 137
+    flat = (rng.standard_normal(n * C) * 0.6).astype(np.float32)
+    flat[:4] = [2.0, -2.0, 0.5 / 32767, -0.5 / 32767]  # clip + rounding edges
+
+    padded, nh = _file_padded(flat, C)
+    want = np.zeros((C, (nh + 1) * HOP), np.int32)
+    want[:, : padded.shape[1]] = np.clip(
+        np.rint(padded * np.float32(32767.0)), -32768, 32767
+    ).astype(np.int32)
+
+    rows = np.zeros((C, (nh + 1) * HOP), np.int32)
+    assert native.lossy_marshal_f32(flat, n, C, HOP, 32767.0, rows)
+    np.testing.assert_array_equal(rows, want)
