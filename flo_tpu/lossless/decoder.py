@@ -159,10 +159,10 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
-@partial(jax.jit, static_argnames=("channels", "S"))
+@partial(jax.jit, static_argnames=("channels", "S", "wmax"))
 def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
                      orders, is_fixed, mid_side, lane_nvalid,
-                     channels: int, S: int):
+                     channels: int, S: int, wmax: int = 32):
     """Block-packed decode step: residual lanes in (ops/blockpack upload,
     scan-free gather/shift/mask unpack), block-spread fixed-width samples
     out (ops/blockspread.pack_fixed_stage1 — no per-element scatters; the
@@ -171,7 +171,9 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
     work left is the reconstruction recurrence itself."""
     from ..ops import blockspread
 
-    rows = blockpack.unpack_rows(buf, up_modes, up_widths, up_off, lane_nvalid, S)
+    rows = blockpack.unpack_rows(
+        buf, up_modes, up_widths, up_off, lane_nvalid, S, wmax
+    )
     samples = lpc.reconstruct_best(rows, coeffs, shifts, orders, is_fixed)
     fcs = samples.reshape(-1, channels, S)
     if channels == 2:
@@ -254,8 +256,8 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             if nb != len(buf):
                 buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
             # Mesh padding: inert zero lanes (nvalid=0) at the frame tail.
-            # Their upload offsets sit at the payload end — unpack_rows'
-            # word expansion needs non-decreasing lane offsets.
+            # Their upload offsets sit at the payload end with zero widths
+            # (their window slices read pad bytes; every plane is masked).
             pad_f = _pp.pad_batch(fhi_f - flo_f, mesh) - (fhi_f - flo_f)
             pad_l = pad_f * channels
             padf = lambda a, p: np.pad(a, [(0, p)] + [(0, 0)] * (a.ndim - 1))
@@ -272,6 +274,7 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 pb(padf(orders[lo:hi], pad_l)), pb(padf(is_fixed[lo:hi], pad_l)),
                 pb(padf(mid_side[flo_f:fhi_f], pad_f)),
                 pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
+                blockpack.width_bucket(up_widths),
             )
             # Small outputs (modes/widths/bytes) start their host copy now
             # (ready when compute ends); the payload assembly + prefix fetch

@@ -325,9 +325,8 @@ def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
         nb = _bucket_bytes(len(buf))
         if nb != len(buf):
             buf = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
-        # Mesh-padding lanes must keep lane offsets non-decreasing
-        # (blockpack.unpack_rows' word expansion relies on stream order),
-        # so they sit at the payload end with zero widths.
+        # Mesh-padding lanes sit at the payload end with zero widths (their
+        # window slices read pad bytes; every plane is masked by w=0).
         off_pad = np.full(pad_f * C, payload_end, np.int32)
         device_out = encode_select_packed(
             pr(buf),
@@ -336,6 +335,7 @@ def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
             pb(np.concatenate([lane_off_up.astype(np.int32), off_pad])),
             pb(_pad_frames(frame_samples.astype(np.int32), pad_f)),
             tuple(kinds), tuple(cand_orders), C, spf,
+            blockpack.width_bucket(widths_up),
         )
         # Start host copies for the small outputs (everything but the packed
         # payload buffer [3] and the residual rows [7]).

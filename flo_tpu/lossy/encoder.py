@@ -101,15 +101,15 @@ def _encode_padded_compact(padded, sample_rate: int, thr):
     return comp, blk_nnz, row_nnz, sf
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "W"))
+@partial(jax.jit, static_argnames=("sample_rate", "W", "wmax"))
 def _encode_packed_compact(buf, modes, widths, lane_off, nvalid,
-                           sample_rate: int, thr, W: int):
+                           sample_rate: int, thr, W: int, wmax: int = 32):
     """_encode_padded_compact fed by a block-packed i16 PCM upload
     (ops/blockpack): the input crosses the wire at compressed size and the
     device recovers the [L, W] signal scan-free (gather/shift/mask)."""
     from ..ops import blockpack
 
-    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W)
+    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W, wmax)
     padded = rows.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
     return _encode_padded_compact(padded, sample_rate, thr)
 
@@ -132,8 +132,8 @@ def _dispatch_packed(rows, used, sample_rate: int, thr, mesh=None):
     pad_l = _pp.pad_batch(Lc, mesh) - Lc
     padf = lambda a: np.pad(a, [(0, pad_l)] + [(0, 0)] * (a.ndim - 1))
     pb = lambda x: _pp.put_batch(x, mesh)
-    # Mesh-padding lanes sit at the payload end (unpack_rows' word expansion
-    # needs non-decreasing lane offsets) with zero widths.
+    # Mesh-padding lanes sit at the payload end with zero widths (their
+    # window slices read pad bytes; every plane is masked by w=0).
     off_padded = np.concatenate(
         [lane_off.astype(np.int32), np.full(pad_l, payload_end, np.int32)]
     )
@@ -141,7 +141,7 @@ def _dispatch_packed(rows, used, sample_rate: int, thr, mesh=None):
         _pp.put_replicated(buf, mesh), pb(padf(modes.astype(np.int32))),
         pb(padf(widths)), pb(off_padded),
         pb(padf(used.astype(np.int32))), int(sample_rate),
-        _pp.put_replicated(thr, mesh), W,
+        _pp.put_replicated(thr, mesh), W, blockpack.width_bucket(widths),
     )
 
 

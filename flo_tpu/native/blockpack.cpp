@@ -10,9 +10,12 @@
 // Format, per lane (mode in {0: values, 1: first delta, 2: second delta},
 // transform applied with int32 wrap, then zigzag u = (v<<1)^(v>>31)):
 //   codes are grouped in blocks of BLK=256; block b stores its 256 codes at
-//   widths[lane][b] bits each, LSB-first in little-endian bytes; block size
-//   is exactly 32*w bytes (BLK/8 * w), so blocks are byte-aligned with zero
-//   padding. Codes past nvalid are zero. widths/modes/lane offsets travel as
+//   widths[lane][b] bits each as w BIT-PLANES: plane p (0..w-1) is 8
+//   little-endian u32 words, and bit i of plane word q is bit p of zigzag
+//   code 32q+i. Block size is exactly 32*w bytes (same as sequential
+//   packing), but the DEVICE unpacks planes with pure slice/shift/add
+//   arithmetic — no per-code indexed ops (see ops/blockpack.unpack_rows).
+//   Codes past nvalid are zero. widths/modes/lane offsets travel as
 //   separate (tiny) arrays.
 //
 // All functions are single-pass per lane; OpenMP if available (this image
@@ -32,6 +35,34 @@ inline uint32_t zigzag32(int32_t v) {
 
 inline int width_of(uint32_t maxu) {
     return maxu == 0 ? 0 : 32 - __builtin_clz(maxu);
+}
+
+// 32x32 bit-matrix transpose (Hacker's Delight fig. 7-3, public-domain
+// algorithm). Orientation as implemented: bit p of input row i lands at
+// output row 31-p, bit 31-i. Callers load rows reversed so that
+// out[31-p] bit i == bit p of code i.
+inline void transpose32(uint32_t A[32]) {
+    uint32_t m = 0x0000FFFFu, t;
+    for (int j = 16; j != 0; j >>= 1, m ^= (m << j)) {
+        for (int k = 0; k < 32; k = (k + j + 1) & ~j) {
+            t = (A[k] ^ (A[k + j] >> j)) & m;
+            A[k] ^= t;
+            A[k + j] ^= (t << j);
+        }
+    }
+}
+
+inline void store_le32(uint8_t* dst, uint32_t v) {
+    dst[0] = static_cast<uint8_t>(v);
+    dst[1] = static_cast<uint8_t>(v >> 8);
+    dst[2] = static_cast<uint8_t>(v >> 16);
+    dst[3] = static_cast<uint8_t>(v >> 24);
+}
+
+inline uint32_t load_le32(const uint8_t* src) {
+    return static_cast<uint32_t>(src[0]) | (static_cast<uint32_t>(src[1]) << 8)
+         | (static_cast<uint32_t>(src[2]) << 16)
+         | (static_cast<uint32_t>(src[3]) << 24);
 }
 
 }  // namespace
@@ -97,35 +128,35 @@ void blockpack_pack(const int32_t* rows, int64_t L, int64_t stride,
         const int mode = modes[l];
         const uint8_t* wl = widths + l * nblk;
         uint8_t* dst = out + lane_off[l];
-        uint64_t acc = 0;
-        int nbits = 0;
         uint32_t prev = 0, prevd = 0;
+        uint32_t z[BLK];
+        uint32_t planes[8][32];  // [group][transposed rows]
         for (int64_t b = 0; b < nblk; ++b) {
             const int w = wl[b];
             const int64_t j0 = b * BLK;
-            const int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
-            for (int64_t j = j0; j < j0 + BLK; ++j) {
-                uint32_t z = 0;
-                if (j < j1) {
-                    const uint32_t v = static_cast<uint32_t>(r[j]);
-                    const uint32_t d1 = v - prev;
-                    const uint32_t d2 = d1 - prevd;
-                    prev = v;
-                    prevd = d1;
-                    const uint32_t t = mode == 0 ? v : (mode == 1 ? d1 : d2);
-                    z = zigzag32(static_cast<int32_t>(t));
-                }
-                if (w) {
-                    acc |= static_cast<uint64_t>(z) << nbits;  // LSB-first
-                    nbits += w;
-                    while (nbits >= 8) {
-                        *dst++ = static_cast<uint8_t>(acc);
-                        acc >>= 8;
-                        nbits -= 8;
-                    }
-                }
+            int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
+            if (j1 < j0) j1 = j0;  // block fully past nvalid
+            for (int64_t j = j0; j < j1; ++j) {
+                const uint32_t v = static_cast<uint32_t>(r[j]);
+                const uint32_t d1 = v - prev;
+                const uint32_t d2 = d1 - prevd;
+                prev = v;
+                prevd = d1;
+                const uint32_t t = mode == 0 ? v : (mode == 1 ? d1 : d2);
+                z[j - j0] = zigzag32(static_cast<int32_t>(t));
             }
-            // 256 codes * w bits is a whole number of bytes: nbits == 0 here.
+            for (int64_t j = j1; j < j0 + BLK; ++j) z[j - j0] = 0;
+            if (!w) continue;
+            for (int g = 0; g < 8; ++g) {
+                uint32_t* A = planes[g];
+                const uint32_t* zg = z + 32 * g;
+                for (int k = 0; k < 32; ++k) A[k] = zg[31 - k];  // reversed
+                transpose32(A);  // A[31-p] bit i == bit p of code 32g+i
+            }
+            // Plane-major emission: plane p = 8 LE words (groups 0..7).
+            for (int p = 0; p < w; ++p)
+                for (int g = 0; g < 8; ++g, dst += 4)
+                    store_le32(dst, planes[g][31 - p]);
         }
     }
 }
@@ -143,33 +174,31 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
         const uint8_t* wl = widths + l * nblk;
         const uint8_t* src = buf + lane_off[l];
         int32_t* dst = out + l * out_stride;
-        uint64_t acc = 0;
-        int nbits = 0;
         uint32_t c1 = 0, c2 = 0;
+        uint32_t A[32];
         for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
             const int w = wl[b];
-            const uint32_t mask =
-                w >= 32 ? 0xFFFFFFFFu : ((1u << w) - 1u);
             const int64_t j0 = b * BLK;
-            for (int64_t j = j0; j < j0 + BLK; ++j) {
-                uint32_t z = 0;
-                if (w) {
-                    while (nbits < w) {
-                        acc |= static_cast<uint64_t>(*src++) << nbits;
-                        nbits += 8;
-                    }
-                    z = static_cast<uint32_t>(acc) & mask;
-                    acc >>= w;
-                    nbits -= w;
+            for (int g = 0; g < 8; ++g) {
+                // Rebuild group g: A[31-p] = plane p word g (zeros past w),
+                // transpose back (involution), code i = A[31-i].
+                for (int p = 0; p < w; ++p)
+                    A[31 - p] = load_le32(src + 4 * (8 * p + g));
+                for (int p = w; p < 32; ++p) A[31 - p] = 0;
+                transpose32(A);
+                for (int i = 0; i < 32; ++i) {
+                    const uint32_t z = A[31 - i];
+                    const uint32_t v = (z >> 1)
+                        ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
+                    c1 += v;    // mode 1: value = cumsum(delta)
+                    c2 += c1;   // mode 2: value = cumsum(cumsum(delta2))
+                    const int64_t j = j0 + 32 * g + i;
+                    if (j < n)
+                        dst[j] = static_cast<int32_t>(
+                            mode == 0 ? v : (mode == 1 ? c1 : c2));
                 }
-                const uint32_t v =
-                    (z >> 1) ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
-                c1 += v;        // mode 1: value = cumsum(delta)
-                c2 += c1;       // mode 2: value = cumsum(cumsum(delta2))
-                if (j < n)
-                    dst[j] = static_cast<int32_t>(
-                        mode == 0 ? v : (mode == 1 ? c1 : c2));
             }
+            src += 32 * w;
         }
         if (n < out_stride)
             std::memset(dst + n, 0, (out_stride - n) * sizeof(int32_t));

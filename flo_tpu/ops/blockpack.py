@@ -1,26 +1,33 @@
-"""Fixed-width block-packed integer wire transport.
+"""Fixed-width bit-plane block-packed integer wire transport (upload).
 
-The ONE transport format for every bulk host<->device tensor (PCM uploads,
-residual uploads, reconstructed-PCM downloads). Design rationale, measured on
-this environment (single host CPU core, ~30-40 MB/s tunnel both ways):
+The ONE transport format for every bulk host->device tensor (PCM uploads,
+residual uploads). Design rationale, measured on this environment (single
+host CPU core, ~30-40 MB/s tunnel both ways, ~10 ns per device
+scatter/gather index):
 
 * Rice coding on the wire needs either a sequential device scan to decode
   (hundreds of ms per chunk) or heavy host numpy (seconds), and real content
   defeats per-lane escape hatches — one transient per 1 s frame is enough to
   push a Rice quotient past any fixed device window (rice.rs caps unary runs
   at 255, so 271-bit codes are format-legal).
-* Fixed-width blocks have NO escape cases (w <= 32 covers any int32), cost
-  ~10-15% more bytes than Rice, pack/unpack on the host in one C++ pass
-  (native/blockpack.cpp), and unpack on the DEVICE with pure gather/shift/
-  mask + cumsum — no lax.scan anywhere.
+* Fixed-width blocks have NO escape cases (w <= 32 covers any int32) and
+  cost ~10-15% more bytes than Rice.
+* BIT-PLANE layout inside each block makes the device unpack pure
+  arithmetic: one contiguous-slice gather per block (the only indexed op —
+  ~4k of them per MB, not one per code) followed by a fused plane
+  accumulation. Round 2 unpacked sequential-bit blocks with per-WORD delta
+  scatters + a flat cumsum; at ~10 ns/index those scatters alone cost
+  ~196 ms per bulk chunk (tools/decode_decompose.py) — the entire gap
+  between the Pallas reconstruction (~7 ms) and the 1000x target.
 
 Format (shared with the C++ half, see native/blockpack.cpp): per lane a
 transform mode (0 = values, 1 = first delta, 2 = second delta; int32 wrap),
-zigzag, then blocks of BLK=256 codes at a per-block width w in [0, 32],
-LSB-first in little-endian bytes — a block is exactly 32*w bytes, so
-everything stays byte-aligned with zero padding. Per-lane modes, per-block
-widths (u8), and lane byte offsets travel as separate tiny arrays; offsets
-are recomputed from widths on whichever side needs them.
+zigzag, then blocks of BLK=256 codes at a per-block width w in [0, 32].
+Block payload = w bit-planes; plane p (0..w-1) is 8 little-endian u32
+words, and bit i of plane word q holds bit p of zigzag code 32q+i. A block
+is exactly 32*w bytes (identical to sequential packing, so the width
+analysis is unchanged). Per-lane modes, per-block widths (u8), and lane
+byte offsets travel as separate tiny arrays.
 
 Silence/constant lanes pack to w=0 blocks: zero payload bytes.
 """
@@ -36,18 +43,26 @@ import jax.numpy as jnp
 
 BLK = 256
 
-#: Padding bytes after the packed payload so 8-byte device windows at the
-#: final code never read out of bounds.
-PAD_BYTES = 8
+#: Padding bytes after the packed payload so the device's per-block
+#: 256-word window slices never read out of bounds (32 planes x 8 words).
+PAD_BYTES = 1024
 
-#: pack_rows computes absolute BIT positions in int32 (worst case 32 bits
-#: per padded sample), so one call is bounded to this many padded samples
-#: (L * nblocks(S) * BLK). Chunk callers split to stay below it.
+#: Bulk chunks are bounded so absolute BIT positions fit int32 on the
+#: DOWNLOAD side (ops/blockspread packs <= WORST_BITS_PER_SAMPLE bits per
+#: padded sample); kept here because callers size their chunks once for
+#: both wire directions. (The upload unpack itself indexes words, not bits.)
 MAX_PACK_SAMPLES = (1 << 31) // 32 - 2 * BLK
 
 
 def nblocks(S: int) -> int:
     return -(-S // BLK)
+
+
+def width_bucket(widths: np.ndarray) -> int:
+    """Static plane-loop bound for :func:`unpack_rows`: the batch's max
+    block width rounded up to a multiple of 8 (4 possible jit shapes)."""
+    m = int(np.max(widths, initial=0))
+    return max(8, -(-m // 8) * 8)
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +90,25 @@ def _np_widths(z: np.ndarray, nblk: int) -> np.ndarray:
     return w
 
 
+def _np_transform(rows, nvalid, nblk):
+    """Shared fallback prep: masked values + d1/d2 (int32 wrap), padded to
+    whole blocks. Returns (v, d1, d2, valid) each [L, nblk*BLK]."""
+    L, S = rows.shape
+    valid = np.arange(S)[None, :] < nvalid[:, None]
+    v = np.where(valid, rows, 0).astype(np.int32)
+    pad = nblk * BLK - S
+    if pad:
+        v = np.pad(v, ((0, 0), (0, pad)))
+        valid = np.pad(valid, ((0, 0), (0, pad)))
+    d1 = v.copy()
+    d1[:, 1:] -= v[:, :-1]
+    d2 = d1.copy()
+    d2[:, 1:] -= d1[:, :-1]
+    d1 = np.where(valid, d1, 0)
+    d2 = np.where(valid, d2, 0)
+    return v, d1, d2, valid
+
+
 def analyze_host(rows: np.ndarray, nvalid: np.ndarray):
     """Pick per-lane mode + per-block widths + lane byte sizes.
 
@@ -91,18 +125,7 @@ def analyze_host(rows: np.ndarray, nvalid: np.ndarray):
     if out is not None:
         return out
     # numpy fallback
-    valid = np.arange(S)[None, :] < nvalid[:, None]
-    v = np.where(valid, rows, 0).astype(np.int32)
-    pad = nblk * BLK - S
-    if pad:
-        v = np.pad(v, ((0, 0), (0, pad)))
-        valid = np.pad(valid, ((0, 0), (0, pad)))
-    d1 = v.copy()
-    d1[:, 1:] -= v[:, :-1]
-    d2 = d1.copy()
-    d2[:, 1:] -= d1[:, :-1]
-    d1 = np.where(valid, d1, 0)
-    d2 = np.where(valid, d2, 0)
+    v, d1, d2, _valid = _np_transform(rows, nvalid, nblk)
     cands = [_np_widths(_np_zigzag(x), nblk) for x in (v, d1, d2)]
     sizes = np.stack([32 * c.astype(np.int64).sum(axis=1) for c in cands])
     modes = sizes.argmin(axis=0).astype(np.uint8)
@@ -132,48 +155,44 @@ def pack_host(rows: np.ndarray, nvalid: np.ndarray):
     return buf, modes, widths, lane_off
 
 
+def _plane_units(widths: np.ndarray, lane_off: np.ndarray):
+    """Flat (block, plane) coordinates of every 8-word plane unit in the
+    payload, in stream order. widths [L, NB] -> (blk_of_unit, p_of_unit)."""
+    w = widths.astype(np.int64).reshape(-1)
+    blk = np.repeat(np.arange(w.size, dtype=np.int64), w)
+    unit0 = np.concatenate([[0], np.cumsum(w)[:-1]])
+    p = np.arange(int(w.sum()), dtype=np.int64) - unit0[blk]
+    return blk, p
+
+
 def _np_pack_into(rows, nvalid, modes, widths, lane_off, buf):
-    """Vectorized numpy packer (fallback; also the pack oracle in tests)."""
+    """Vectorized numpy bit-plane packer (fallback; also the pack oracle in
+    tests). Lane payloads are contiguous (lane_off is the running sum), so
+    the payload is the stream of live plane units in block order."""
     L, S = rows.shape
     nblk = widths.shape[1]
-    valid = np.arange(S)[None, :] < nvalid[:, None]
-    v = np.where(valid, rows, 0).astype(np.int32)
-    pad = nblk * BLK - S
-    if pad:
-        v = np.pad(v, ((0, 0), (0, pad)))
-    d1 = v.copy()
-    d1[:, 1:] -= v[:, :-1]
-    d2 = d1.copy()
-    d2[:, 1:] -= d1[:, :-1]
+    v, d1, d2, _valid = _np_transform(rows, nvalid, nblk)
+    modes = np.asarray(modes)
     t = np.where(
         (modes == 2)[:, None], d2, np.where((modes == 1)[:, None], d1, v)
     )
-    if pad:
-        vmask = np.pad(valid, ((0, 0), (0, pad)))
-        t = np.where(vmask, t, 0)
-    z = _np_zigzag(t).astype(np.uint64)
-    w = widths.astype(np.int64)  # [L, NB]
-    wj = np.repeat(w, BLK, axis=1)  # width of each code [L, NB*BLK]
-    jj = np.tile(np.arange(BLK, dtype=np.int64), nblk)[None, :]
-    blk_bytes = 32 * w
-    boff = lane_off[:, None] + np.concatenate(
-        [np.zeros((L, 1), np.int64), np.cumsum(blk_bytes[:, :-1], axis=1)], axis=1
-    )
-    bit = np.repeat(boff, BLK, axis=1) * 8 + jj * wj
-    live = wj > 0
-    # scatter-or byte pieces: each code spans <= 5 bytes
-    byte = (bit >> 3)[live]
-    sh = (bit & 7)[live].astype(np.uint64)
-    val = z[live] << sh
-    for piece in range(5):
-        np.bitwise_or.at(
-            buf, byte + piece,
-            ((val >> np.uint64(8 * piece)) & np.uint64(0xFF)).astype(np.uint8),
-        )
+    z = _np_zigzag(t).reshape(L * nblk, 8, 32)  # [block, group, i]
+    blk, p = _plane_units(widths, lane_off)
+    if blk.size == 0:
+        return
+    # Plane unit (blk, p): word g = sum_i ((z[blk, g, i] >> p) & 1) << i.
+    zb = z[blk]  # [NU, 8, 32]
+    bits = (zb >> p[:, None, None].astype(np.uint32)) & np.uint32(1)
+    units = (bits << np.arange(32, dtype=np.uint32)[None, None, :]).sum(
+        axis=2, dtype=np.uint32
+    )  # [NU, 8]
+    payload = units.astype("<u4").tobytes()
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
 
 
 def unpack_host(buf, modes, widths, lane_off, nvalid, S: int) -> np.ndarray:
-    """Inverse of the device pack (download direction) -> [L, S] int32."""
+    """Host inverse of pack_host -> [L, S] int32 (zeros past nvalid).
+    C++ fast path; vectorized numpy fallback (also the test oracle)."""
     from .. import native
 
     L, nblk = widths.shape
@@ -187,58 +206,30 @@ def unpack_host(buf, modes, widths, lane_off, nvalid, S: int) -> np.ndarray:
     )
     if out is not None:
         return out
-    # numpy fallback: gather each code's 8-byte little-endian window.
     buf = np.ascontiguousarray(buf, np.uint8)
-    need = int(lane_off[-1]) + 32 * int(widths[-1].astype(np.int64).sum()) + 8 if L else 8
-    if len(buf) < need:
-        buf = np.concatenate([buf, np.zeros(need - len(buf), np.uint8)])
-    w = widths.astype(np.int64)
-    blk_bytes = 32 * w
-    boff = np.asarray(lane_off)[:, None] + np.concatenate(
-        [np.zeros((L, 1), np.int64), np.cumsum(blk_bytes[:, :-1], axis=1)], axis=1
-    )
-    nb_used = nblocks(S)
-    wj = np.repeat(w[:, :nb_used], BLK, axis=1)[:, :S]
-    jj = np.tile(np.arange(BLK, dtype=np.int64), nb_used)[None, :S]
-    bit = np.repeat(boff[:, :nb_used], BLK, axis=1)[:, :S] * 8 + jj * wj
-    byte = bit >> 3
-    sh = (bit & 7).astype(np.uint64)
-    win = np.zeros((L, S), np.uint64)
-    for piece in range(8):
-        win |= buf[byte + piece].astype(np.uint64) << np.uint64(8 * piece)
-    mask = np.where(wj >= 32, np.uint64(0xFFFFFFFF), (np.uint64(1) << wj.astype(np.uint64)) - np.uint64(1))
-    z = ((win >> sh) & mask).astype(np.uint32)
-    v = ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).view(np.int32).reshape(L, S)
+    blk, p = _plane_units(widths, lane_off)
+    NBT = L * nblk
+    win = np.zeros((NBT, 32, 8), np.uint32)
+    if blk.size:
+        units = (
+            buf[: blk.size * 32]
+            .view("<u4")
+            .reshape(-1, 8)
+            .astype(np.uint32)
+        )
+        win[blk, p] = units
+    # z[b, 32q+i] = sum_p ((win[b, p, q] >> i) & 1) << p
+    z = np.zeros((NBT, 8, 32), np.uint32)
+    i = np.arange(32, dtype=np.uint32)[None, None, :]
+    for pp in range(32):
+        z |= (((win[:, pp, :, None] >> i) & np.uint32(1)) << np.uint32(pp))
+    z = z.reshape(L, nblk * BLK)[:, :S]
+    v = ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).view(np.int32)
     c1 = np.cumsum(v, axis=1, dtype=np.int32)
     c2 = np.cumsum(c1, axis=1, dtype=np.int32)
+    modes = np.asarray(modes)
     out = np.where((modes == 2)[:, None], c2, np.where((modes == 1)[:, None], c1, v))
     return np.where(np.arange(S)[None, :] < nvalid[:, None], out, 0)
-
-
-def fetch_packed_start(words_dev, total_bytes: int):
-    """Dispatch + async-start the packed-payload download (pack_rows words).
-    Finish with :func:`fetch_packed_finish`."""
-    from .ricepack import fetch_prefix_start
-
-    if total_bytes <= 0:
-        return None
-    return fetch_prefix_start(words_dev, -(-total_bytes // 4))
-
-
-def fetch_packed_finish(h, total_bytes: int) -> np.ndarray:
-    from .ricepack import fetch_prefix_finish
-
-    if h is None:
-        return np.zeros(PAD_BYTES, np.uint8)
-    w = fetch_prefix_finish(h, -(-total_bytes // 4))
-    b = np.ascontiguousarray(w).view(np.uint8)[:total_bytes]
-    return np.concatenate([b, np.zeros(PAD_BYTES, np.uint8)])
-
-
-def fetch_packed(words_dev, total_bytes: int) -> np.ndarray:
-    """Download the first total_bytes of a device u32 word buffer (the
-    pack_rows output) as bytes, with PAD_BYTES of trailing zeros appended."""
-    return fetch_packed_finish(fetch_packed_start(words_dev, total_bytes), total_bytes)
 
 
 # ---------------------------------------------------------------------------
@@ -246,102 +237,83 @@ def fetch_packed(words_dev, total_bytes: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _le32_windows(buf):
-    """[B] u8 -> little-endian u32 windows at every byte offset."""
-    b = buf.astype(jnp.uint32)
-    return (
-        b
-        | jnp.roll(b, -1) << 8
-        | jnp.roll(b, -2) << 16
-        | jnp.roll(b, -3) << 24
-    )  # rolls wrap into PAD_BYTES zeros for in-range reads
-
-
 def _exclusive_cumsum(x, axis):
     c = jnp.cumsum(x, axis=axis)
     return c - x
 
 
-def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
+def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int, wmax: int = 32):
     """Device inverse of pack_host -> [L, S] int32 (zeros past nvalid).
 
-    buf: [B] u8 (>= total + PAD_BYTES, B a multiple of 4); widths: [L, NB]
-    u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L].
+    buf: [B] u8 (>= total + PAD_BYTES, B a multiple of 32); widths: [L, NB]
+    u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L];
+    wmax: static plane-loop bound (pass :func:`width_bucket` of the host
+    widths; must be >= every block width).
 
-    Scan-free AND per-element-indexed-op-free: the round-2 version gathered
-    two 4-byte windows PER CODE (~10 ns/index on this chip — ~200 ms per
-    bulk chunk). The stream is word-structured (32w-byte blocks and the
-    bucketed buffer are 4-aligned) and each code reads words wi, wi+1 with
-    wi NON-DECREASING in flat code order, so the word values are instead
-    run-length EXPANDED onto code positions: one delta scatter per BUFFER
-    WORD (payload/4 indices, ~4x fewer than codes and entropy-sized) plus a
-    code-domain cumsum — the same trick as ops/blockspread's assembly,
-    inverted.
+    No per-code indexed ops. The payload is a stream of 8-word PLANE UNITS
+    (plane p of block b), which blocks tile contiguously, so each unit's
+    destination (block, plane) is recovered with two per-BLOCK delta
+    scatters + unit-domain cumsums, and ONE row scatter places every unit
+    into its padded [NBT, wmax, 8] window slot (payload/32 bytes indices —
+    8x fewer than the retired per-word expansion, and each moves a 32-byte
+    run). Pad/bucket units beyond the payload are all-zero bytes and land
+    in plane rows the accumulation masks (p >= block width) or are dropped
+    (p >= wmax). The codes are then rebuilt by a fused per-plane
+    shift/mask accumulation — pure vector arithmetic.
+
+    (Two alternatives measured on this chip and rejected: per-word delta
+    scatter + flat cumsum ~196 ms per bulk chunk, and a vmap(dynamic_slice)
+    per-block window gather, which XLA unrolls into a >100 MB binary with
+    0.1-2.4 s dispatch — tools/gather_microbench.py / decode_decompose.py.)
     """
     L, NB = widths.shape
+    NBT = L * NB
     Sp = NB * BLK
     NWb = buf.shape[0] // 4
-    W = jax.lax.bitcast_convert_type(buf[: NWb * 4].reshape(NWb, 4), jnp.uint32)
-    Wn = jnp.concatenate([W[1:], jnp.zeros(1, jnp.uint32)])
+    NU = NWb // 8
+    U = jax.lax.bitcast_convert_type(
+        buf[: NU * 32].reshape(NU, 8, 4), jnp.uint32
+    )  # [unit, group word, LE bytes]
 
     w = widths.astype(jnp.int32)
-    blk_words = 8 * w  # 32w bytes
-    bwoff = (lane_off.astype(jnp.int32) >> 2)[:, None] + _exclusive_cumsum(blk_words, 1)
-
-    # Per-word -> first-code map. Every word of a w>0 block starts at least
-    # one code (w <= 32), and the word stream is contiguous in flat code
-    # order, so: expand block ids onto words (per-BLOCK delta scatter at the
-    # block word starts; w=0 blocks land on the next block's start word and
-    # telescope away, last-wins), compute each word's first code
-    # arithmetically, then expand the word VALUES onto code positions
-    # (per-WORD delta scatter + code-domain cumsum).
-    blk_id = jnp.arange(L * NB, dtype=jnp.int32)
-    bw_flat = bwoff.reshape(-1)
-    pos_blk = jnp.minimum(bw_flat, NWb)
-    d_blk = blk_id - jnp.concatenate([jnp.zeros(1, jnp.int32), blk_id[:-1]])
-    d_bw = bw_flat - jnp.concatenate([jnp.zeros(1, jnp.int32), bw_flat[:-1]])
-    seedB = jnp.zeros((NWb,), jnp.int32).at[pos_blk].add(
-        d_blk, mode="drop", indices_are_sorted=True
+    wf = w.reshape(-1)  # [NBT]
+    # First plane unit of each block: lane byte offset / 32 + widths cumsum.
+    unit0 = (lane_off.astype(jnp.int32) >> 5)[:, None] + _exclusive_cumsum(w, 1)
+    u0f = unit0.reshape(-1)
+    pos = jnp.minimum(u0f, NU)  # w=0 blocks telescope; tail blocks drop
+    bid = jnp.arange(NBT, dtype=jnp.int32)
+    dB = bid - jnp.concatenate([jnp.zeros(1, jnp.int32), bid[:-1]])
+    dU = u0f - jnp.concatenate([jnp.zeros(1, jnp.int32), u0f[:-1]])
+    seedB = jnp.zeros((NU,), jnp.int32).at[pos].add(
+        dB, mode="drop", indices_are_sorted=True
     )
-    seedW = jnp.zeros((NWb,), jnp.int32).at[pos_blk].add(
-        d_bw, mode="drop", indices_are_sorted=True
+    seedU = jnp.zeros((NU,), jnp.int32).at[pos].add(
+        dU, mode="drop", indices_are_sorted=True
     )
-    blk_of_word = jnp.cumsum(seedB)
-    w0_of_word = jnp.cumsum(seedW)
-    t = jnp.arange(NWb, dtype=jnp.int32) - w0_of_word  # word idx within block
-    wb = w.reshape(-1)[blk_of_word]  # block width per word
-    first_in_blk = jnp.where(wb > 0, (32 * t + wb - 1) // jnp.maximum(wb, 1), BLK)
-    # Only buffer-padding words past the payload are dead (first >= BLK);
-    # they come after every live word, so dropping their deltas is safe.
-    live_w = (wb > 0) & (first_in_blk < BLK)
-    pos_w = jnp.where(live_w, blk_of_word * BLK + jnp.minimum(first_in_blk, BLK - 1),
-                      L * Sp)
+    blk_of_unit = jnp.cumsum(seedB)
+    p_of_unit = jnp.arange(NU, dtype=jnp.int32) - jnp.cumsum(seedU)
+    dst = jnp.where(
+        (p_of_unit >= 0) & (p_of_unit < wmax),
+        blk_of_unit * wmax + p_of_unit,
+        NBT * wmax,
+    )
+    win = (
+        jnp.zeros((NBT * wmax, 8), jnp.uint32)
+        .at[dst]
+        .set(U.reshape(NU, 8), mode="drop", indices_are_sorted=True,
+             unique_indices=True)
+        .reshape(NBT, wmax, 8)
+    )
 
-    def expand(vals_u32):
-        v = jax.lax.bitcast_convert_type(vals_u32, jnp.int32)
-        delta = v - jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
-        seed = jnp.zeros((L * Sp,), jnp.int32).at[pos_w].add(
-            delta, mode="drop", indices_are_sorted=True
+    i = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    acc = jnp.zeros((NBT, 8, 32), jnp.uint32)
+    for p in range(wmax):
+        bits = (win[:, p, :, None] >> i) & jnp.uint32(1)
+        acc = acc + jnp.where(
+            (p < wf)[:, None, None], bits << jnp.uint32(p), jnp.uint32(0)
         )
-        return jax.lax.bitcast_convert_type(jnp.cumsum(seed), jnp.uint32)
+    z = acc.reshape(L, Sp)[:, :S]
 
-    Wlo = expand(W)
-    Whi = expand(Wn)
-
-    j = jnp.arange(Sp, dtype=jnp.int32)
-    jj = j % BLK
-    wj = jnp.repeat(w, BLK, axis=1)  # [L, Sp]
-    bit = jj[None, :] * wj
-    sh = (bit & 31).astype(jnp.uint32)
-    lo = Wlo.reshape(L, Sp) >> sh
-    hi = jnp.where(
-        sh > 0, Whi.reshape(L, Sp) << (jnp.uint32(32) - sh), jnp.uint32(0)
-    )
-    wu = jnp.minimum(wj, 31).astype(jnp.uint32)
-    mask = jnp.where(
-        wj >= 32, jnp.uint32(0xFFFFFFFF), (jnp.uint32(1) << wu) - jnp.uint32(1)
-    )
-    z = ((lo | hi) & mask)[:, :S]
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
     c1 = jnp.cumsum(v, axis=1, dtype=jnp.int32)
     c2 = jnp.cumsum(c1, axis=1, dtype=jnp.int32)
@@ -350,75 +322,3 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
     )
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid.astype(jnp.int32)[:, None]
     return jnp.where(valid, out, 0)
-
-
-def _device_widths(z, NB):
-    """Per-block widths of [L, NB*BLK] uint32 codes -> [L, NB] int32.
-
-    clz on the int32 bit pattern: a set top bit gives clz 0 -> width 32."""
-    m = z.reshape(z.shape[0], NB, BLK).max(axis=2)
-    return jnp.where(m == 0, 0, 32 - jax.lax.clz(m.astype(jnp.int32)))
-
-
-def pack_rows(rows, nvalid):
-    """Device pack (download direction): [L, S] int32 -> packed words.
-
-    Returns (words u32 [NW] — view as LE bytes on the host, modes i32 [L],
-    widths i32 [L, NB], lane_bytes i32 [L]). Host inverse: unpack_host.
-    Scan-free: widths via block max + clz, placement via cumsum, two
-    scatter-adds (bit-disjoint, so add == or).
-    """
-    L, S = rows.shape
-    NB = nblocks(S)
-    Spad = NB * BLK
-    if L * Spad > MAX_PACK_SAMPLES:
-        # Static (trace-time) guard: beyond this, bitpos wraps int32 and
-        # silently corrupts the packed payload. Chunk the batch instead.
-        raise ValueError(
-            f"pack_rows batch too large for int32 bit indexing: "
-            f"{L}x{Spad} > {MAX_PACK_SAMPLES} padded samples"
-        )
-    j = jnp.arange(Spad, dtype=jnp.int32)
-    valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
-    vpad = rows if Spad == S else jnp.pad(rows, ((0, 0), (0, Spad - S)))
-    v = jnp.where(valid, vpad, 0).astype(jnp.int32)
-    d1 = v - jnp.pad(v, ((0, 0), (1, 0)))[:, :Spad]
-    d2 = d1 - jnp.pad(d1, ((0, 0), (1, 0)))[:, :Spad]
-    d1 = jnp.where(valid, d1, 0)
-    d2 = jnp.where(valid, d2, 0)
-
-    def zig(x):
-        return ((x << 1) ^ (x >> 31)).astype(jnp.uint32)
-
-    z0, z1, z2 = zig(v), zig(d1), zig(d2)
-    w0, w1, w2 = (_device_widths(z, NB) for z in (z0, z1, z2))
-    s0, s1, s2 = (32 * w.sum(axis=1) for w in (w0, w1, w2))
-    modes = jnp.where((s2 < s1) & (s2 < s0), 2, jnp.where(s1 < s0, 1, 0))
-    m1 = (modes == 1)[:, None]
-    m2 = (modes == 2)[:, None]
-    w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
-    z = jnp.where(m2, z2, jnp.where(m1, z1, z0))
-
-    blk_bytes = 32 * w
-    lane_bytes = blk_bytes.sum(axis=1)
-    lane_off = _exclusive_cumsum(lane_bytes, 0)
-    boff = lane_off[:, None] + _exclusive_cumsum(blk_bytes, 1)
-
-    b = j // BLK
-    jj = j % BLK
-    wj = w[:, b]
-    bitpos = (boff[:, b] << 3) + jj[None, :] * wj  # absolute bit position
-    word = bitpos >> 5
-    sh = (bitpos & 31).astype(jnp.uint32)
-    live = wj > 0
-    zlive = jnp.where(live, z, 0)
-    lo = zlive << sh
-    hi = jnp.where(sh > 0, zlive >> (jnp.uint32(32) - sh), jnp.uint32(0))
-    # Dead codes scatter OUT OF BOUNDS (mode="drop" discards them; a negative
-    # index would wrap and corrupt real words).
-    NW = L * Spad + 2  # worst case: every block at w=32
-    word = jnp.where(live, word, NW)
-    words = jnp.zeros(NW, jnp.uint32)
-    words = words.at[word.reshape(-1)].add(lo.reshape(-1), mode="drop")
-    words = words.at[(word + 1).reshape(-1)].add(hi.reshape(-1), mode="drop")
-    return words, modes, w, lane_bytes

@@ -70,41 +70,42 @@ def test_host_pack_host_unpack_exact():
     np.testing.assert_array_equal(out, want)
 
 
-def test_device_pack_host_unpack_exact():
-    rows, nvalid = _lanes(4, L=9, S=1500)
+@pytest.mark.parametrize("seed", [0, 3])
+def test_device_unpack_bucketed_wmax(seed):
+    """unpack_rows with the tight width_bucket bound equals the full
+    32-plane default."""
+    rows, nvalid = _lanes(seed)
     L, S = rows.shape
-    fn = jax.jit(blockpack.pack_rows)
-    words, modes, widths, lane_bytes = fn(
-        jnp.asarray(rows), jnp.asarray(nvalid.astype(np.int32))
-    )
-    lane_bytes = np.asarray(lane_bytes).astype(np.int64)
-    lane_off = np.zeros(L, np.int64)
-    np.cumsum(lane_bytes[:-1], out=lane_off[1:])
-    total = int(lane_off[-1] + lane_bytes[-1])
-    buf = np.asarray(words).view("<u4").view(np.uint8)[: total + blockpack.PAD_BYTES]
-    buf = np.concatenate([buf, np.zeros(blockpack.PAD_BYTES, np.uint8)])
-    out = blockpack.unpack_host(
-        buf, np.asarray(modes).astype(np.uint8), np.asarray(widths).astype(np.uint8),
-        lane_off, nvalid, S,
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+    wmax = blockpack.width_bucket(widths)
+    fn = jax.jit(blockpack.unpack_rows, static_argnames=("S", "wmax"))
+    out = np.asarray(
+        fn(
+            jnp.asarray(buf), jnp.asarray(modes.astype(np.int32)),
+            jnp.asarray(widths), jnp.asarray(lane_off.astype(np.int32)),
+            jnp.asarray(nvalid.astype(np.int32)), S, wmax,
+        )
     )
     want = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
     np.testing.assert_array_equal(out, want)
 
 
-def test_device_and_host_pack_agree():
-    """Device pack and host pack produce IDENTICAL streams (same format,
-    same mode/width decisions up to equal-size ties)."""
-    rows, nvalid = _lanes(5, L=6, S=1024)
-    buf_h, modes_h, widths_h, lane_off_h = blockpack.pack_host(rows, nvalid)
-    words, modes_d, widths_d, lane_bytes_d = jax.jit(blockpack.pack_rows)(
-        jnp.asarray(rows), jnp.asarray(nvalid.astype(np.int32))
-    )
-    np.testing.assert_array_equal(np.asarray(widths_d), widths_h.astype(np.int32))
-    np.testing.assert_array_equal(np.asarray(modes_d), modes_h.astype(np.int32))
-    lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
-    total = int(lane_bytes.sum())
-    buf_d = np.asarray(words).view("<u4").view(np.uint8)[:total]
-    np.testing.assert_array_equal(buf_d, buf_h[:total])
+def test_numpy_unpack_fallback_exact():
+    """The pure-numpy unpack path (no C++) inverts pack_host exactly."""
+    rows, nvalid = _lanes(4, L=9, S=1500)
+    L, S = rows.shape
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+
+    from flo_tpu import native
+
+    orig = native.blockpack_unpack
+    native.blockpack_unpack = lambda *a, **k: None
+    try:
+        out = blockpack.unpack_host(buf, modes, widths, lane_off, nvalid, S)
+    finally:
+        native.blockpack_unpack = orig
+    want = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
+    np.testing.assert_array_equal(out, want)
 
 
 def test_numpy_fallback_matches_cpp():
