@@ -163,14 +163,12 @@ def decode(data: bytes) -> np.ndarray:
 def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
                      orders, is_fixed, mid_side, lane_nvalid,
                      channels: int, S: int, wmax: int = 32):
-    """Block-packed decode step: residual lanes in (ops/blockpack upload,
-    scan-free gather/shift/mask unpack), block-spread fixed-width samples
-    out (ops/blockspread.pack_fixed_stage1 — no per-element scatters; the
-    collect path dispatches stage 2 at the entropy-sized bucket). Both wire
-    directions carry compressed-size payloads; the only sequential device
-    work left is the reconstruction recurrence itself."""
-    from ..ops import blockspread
-
+    """Block-packed decode step: residual lanes in AND reconstructed PCM
+    out through the bit-plane blockpack transport (compressed-size payloads,
+    no per-code indexed ops in either direction — one 8-word-row scatter
+    per upload plane unit, one row gather per download unit; the collect
+    path dispatches pack_rows_stage2 at the entropy-sized bucket). The only
+    sequential device work left is the reconstruction recurrence itself."""
     rows = blockpack.unpack_rows(
         buf, up_modes, up_widths, up_off, lane_nvalid, S, wmax
     )
@@ -183,7 +181,7 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
         ms = mid_side[:, None]
         fcs = jnp.stack([jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1)
     lanes = fcs.reshape(-1, S)
-    return blockspread.pack_fixed_stage1(lanes, lane_nvalid)
+    return blockpack.pack_rows_stage1(lanes, lane_nvalid)
 
 
 def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
@@ -311,18 +309,18 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             started = []
             for (stage, modes_d, widths_d, bytes_d, _off_d), lo, hi in handles:
                 # Stage 2 at the entropy-sized bucket; offsets recomputed
-                # host-side (word-aligned lanes; padded mesh lanes are a
-                # zero-byte tail, dropped by the [:hi-lo] slices below).
+                # host-side (lane payloads are 32-byte multiples and tile
+                # the stream; padded mesh lanes are a zero-byte tail,
+                # dropped by the [:hi-lo] slices below).
                 dn_bytes = np.asarray(bytes_d).astype(np.int64)
-                words_per = (dn_bytes + 3) // 4
-                woff = np.concatenate([[0], np.cumsum(words_per)])
-                total_bytes = int(woff[-1] * 4)
-                words_dev = blockspread.pack_stage2(
-                    NW=blockspread.bucket_words(int(woff[-1])), **stage
+                boff = np.concatenate([[0], np.cumsum(dn_bytes)])
+                total_bytes = int(boff[-1])
+                words_dev = blockpack.pack_rows_stage2(
+                    NW=blockspread.bucket_words(total_bytes // 4), **stage
                 )
                 h = blockspread.fetch_words_start(words_dev, total_bytes)
                 started.append(
-                    (h, total_bytes, 4 * woff[:-1], modes_d, widths_d, lo, hi)
+                    (h, total_bytes, boff[:-1], modes_d, widths_d, lo, hi)
                 )
             # Every lane writes its f32 samples straight into the group
             # buffer (fused C++ parse+scale+interleave); lane regions tile
@@ -330,7 +328,7 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             group_out = np.empty(group_nsamp, np.float32)
             for h, total, dn_off, modes_d, widths_d, lo, hi in started:
                 packed = blockspread.fetch_words_finish(h, total)
-                blockspread.unpack_fixed_f32_into(
+                blockpack.unpack_f32_into(
                     packed, np.asarray(modes_d)[: hi - lo],
                     np.asarray(widths_d)[: hi - lo],
                     dn_off[: hi - lo],

@@ -102,12 +102,12 @@ def deserialize_frame(data: bytes, expect_n2: int | None = None):
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
 def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
                           sample_rate: int, n: int):
-    """Sparse upload AND block-spread download: the host ships 4 bytes per
+    """Sparse upload AND bit-plane download: the host ships 4 bytes per
     nonzero coefficient (ops/compact.py), the dense [N, T, C, n2] grid is
     rebuilt ON DEVICE, dequantized/IMDCT'd, quantized to the i16 output
-    domain, and the PCM leaves via ops/blockspread.pack_fixed_stage1
-    (compressed size, no per-element scatters; one-pass C++ host unpack)."""
-    from ..ops import blockspread
+    domain, and the PCM leaves via ops/blockpack.pack_rows_stage1
+    (compressed size, no per-code indexed ops; one-pass C++ host parse)."""
+    from ..ops import blockpack
 
     N, T, C = sf.shape[:3]
     n2 = n // 2
@@ -116,7 +116,7 @@ def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
     s = _decode_blocks(q, sf, sample_rate, n)  # [N, T, n2, C]
     i16 = jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int32)
     rows = jnp.moveaxis(i16, -1, -2).reshape(N * T * C, n2)
-    return blockspread.pack_fixed_stage1(rows, lane_nvalid)
+    return blockpack.pack_rows_stage1(rows, lane_nvalid)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -251,7 +251,7 @@ def decode_many_async(
         handles.append((lo, hi, nv, h))
 
     def fin() -> list[np.ndarray]:
-        from ..ops import blockspread
+        from ..ops import blockpack, blockspread
 
         outs = [None] * N
         # Phase 1: dispatch every chunk's stage-2 assembly at the
@@ -260,15 +260,14 @@ def decode_many_async(
         for lo, hi, nv, h in handles:
             stage, modes_d, widths_d, bytes_d, _off_d = h
             dn_bytes = np.asarray(bytes_d).astype(np.int64)
-            words_per = (dn_bytes + 3) // 4
-            woff = np.concatenate([[0], np.cumsum(words_per)])
-            total = int(woff[-1] * 4)
-            words_dev = blockspread.pack_stage2(
-                NW=blockspread.bucket_words(int(woff[-1])), **stage
+            boff = np.concatenate([[0], np.cumsum(dn_bytes)])
+            total = int(boff[-1])
+            words_dev = blockpack.pack_rows_stage2(
+                NW=blockspread.bucket_words(total // 4), **stage
             )
             hp = blockspread.fetch_words_start(words_dev, total)
             started.append(
-                (lo, hi, nv, hp, total, 4 * woff[:-1], modes_d, widths_d)
+                (lo, hi, nv, hp, total, boff[:-1], modes_d, widths_d)
             )
         # Fused finalizer: each lane (file, frame t, channel c) writes its
         # f32 samples interleaved straight into the batch output buffer;
@@ -293,7 +292,7 @@ def decode_many_async(
                 base[f0 + (t * C + c).reshape(-1)] = (
                     file_base[i] + ((t - 1) * n2 * C + c)
                 ).reshape(-1)
-            blockspread.unpack_fixed_f32_into(
+            blockpack.unpack_f32_into(
                 packed, np.asarray(modes_d), np.asarray(widths_d), dn_off,
                 nv, n2, base, C, 1.0 / 32767.0, batch_out,
             )

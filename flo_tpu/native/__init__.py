@@ -61,11 +61,7 @@ _SIGNATURES = {
             _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             ctypes.c_int64, _i32p,
         ],
-        "blockpack_unpack_msb": [
-            _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
-            ctypes.c_int64, _i32p,
-        ],
-        "blockpack_unpack_msb_f32": [
+        "blockpack_unpack_f32": [
             _u8p, _i64p, _u8p, _u8p, ctypes.c_int64, ctypes.c_int64, _i64p,
             _i64p, ctypes.c_int64, ctypes.c_float, _f32p,
         ],
@@ -330,40 +326,22 @@ def blockpack_unpack(buf, lane_off, modes, widths, nvalid, S: int):
     return out
 
 
-def blockpack_unpack_msb(buf, lane_off, modes, widths, nvalid, S: int):
-    """C++ unpack of the MSB-first block-spread fixed-width stream
-    (ops/blockspread.pack_fixed_stage1) -> [L, S] int32 rows, or None."""
-    lib = _load("blockpack")
-    if lib is None or not hasattr(lib, "blockpack_unpack_msb"):
-        return None
-    L, nblk = widths.shape
-    out = np.zeros((L, S), np.int32)
-    if L:
-        lib.blockpack_unpack_msb(
-            _ptr(buf, ctypes.c_uint8), _ptr(lane_off, ctypes.c_int64),
-            _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
-            L, nblk, _ptr(nvalid, ctypes.c_int64), S,
-            _ptr(out, ctypes.c_int32),
-        )
-    return out
-
-
-def blockpack_unpack_msb_f32(
+def blockpack_unpack_f32(
     buf, lane_off, modes, widths, nvalid, out_base, out_step: int,
     scale: float, out: np.ndarray,
 ) -> bool:
-    """Fused decode finalizer: parse the MSB-first block-spread stream and
-    write f32 interleaved samples directly — lane l's sample j at
-    ``out[out_base[l] + j*out_step]``, scaled by ``scale``; ``out_base < 0``
-    skips the lane (pre-roll / padding, bytes never parsed). Returns False
+    """Fused decode finalizer for the BIT-PLANE stream (the pack_host /
+    pack_rows_stage* wire format): parse + i32->f32 + strided interleave in
+    one pass — lane l's sample j at ``out[out_base[l] + j*out_step]``,
+    scaled by ``scale``; ``out_base < 0`` skips the lane. Returns False
     when the native lib is unavailable (caller takes the numpy path)."""
     lib = _load("blockpack")
-    if lib is None or not hasattr(lib, "blockpack_unpack_msb_f32"):
+    if lib is None or not hasattr(lib, "blockpack_unpack_f32"):
         return False
     L, nblk = widths.shape
     assert out.dtype == np.float32 and out.flags.c_contiguous
     if L:
-        lib.blockpack_unpack_msb_f32(
+        lib.blockpack_unpack_f32(
             _ptr(buf, ctypes.c_uint8), _ptr(lane_off, ctypes.c_int64),
             _ptr(modes, ctypes.c_uint8), _ptr(widths, ctypes.c_uint8),
             L, nblk, _ptr(nvalid, ctypes.c_int64),

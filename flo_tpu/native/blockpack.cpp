@@ -205,65 +205,17 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
     }
 }
 
-// MSB-first variant: the device-side block-spread packer
-// (ops/blockspread.pack_fixed_stage1) emits big-endian bit order with
-// word-aligned lane offsets; same mode/width/zigzag semantics as above.
-void blockpack_unpack_msb(const uint8_t* buf, const int64_t* lane_off,
+// Fused decode finalizer for the bit-plane stream: blockpack_unpack +
+// i32->f32 scale + channel interleave in ONE pass over the payload. Lane
+// l's sample j lands at out[out_base[l] + j*out_step] (out_step = channel
+// count, out_base encodes file/frame/channel position); out_base[l] < 0
+// skips the lane entirely (pre-roll frames, mesh-padding lanes) — its
+// bytes are never parsed.
+void blockpack_unpack_f32(const uint8_t* buf, const int64_t* lane_off,
                           const uint8_t* modes, const uint8_t* widths,
                           int64_t L, int64_t nblk, const int64_t* nvalid,
-                          int64_t out_stride, int32_t* out) {
-#pragma omp parallel for schedule(dynamic, 1)
-    for (int64_t l = 0; l < L; ++l) {
-        const int64_t n = nvalid[l];
-        const int mode = modes[l];
-        const uint8_t* wl = widths + l * nblk;
-        const uint8_t* src = buf + lane_off[l];
-        int32_t* dst = out + l * out_stride;
-        uint64_t acc = 0;  // bits accumulate at the high end, MSB-first
-        int nbits = 0;
-        uint32_t c1 = 0, c2 = 0;
-        for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
-            const int w = wl[b];
-            const uint32_t mask = w >= 32 ? 0xFFFFFFFFu : ((1u << w) - 1u);
-            const int64_t j0 = b * BLK;
-            for (int64_t j = j0; j < j0 + BLK; ++j) {
-                uint32_t z = 0;
-                if (w) {
-                    while (nbits < w) {
-                        acc |= static_cast<uint64_t>(*src++) << (56 - nbits);
-                        nbits += 8;
-                    }
-                    z = static_cast<uint32_t>(acc >> (64 - w)) & mask;
-                    acc <<= w;
-                    nbits -= w;
-                }
-                const uint32_t v =
-                    (z >> 1) ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
-                c1 += v;
-                c2 += c1;
-                if (j < n)
-                    dst[j] = static_cast<int32_t>(
-                        mode == 0 ? v : (mode == 1 ? c1 : c2));
-            }
-        }
-        if (n < out_stride)
-            std::memset(dst + n, 0, (out_stride - n) * sizeof(int32_t));
-    }
-}
-
-// Fused decode finalizer: blockpack_unpack_msb + i32->f32 scale +
-// channel interleave in ONE pass over the payload. Lane l's sample j lands
-// at out[out_base[l] + j*out_step] (out_step = channel count, out_base
-// encodes file/frame/channel position); out_base[l] < 0 skips the lane
-// entirely (pre-roll frames, mesh-padding files) — its bytes are never
-// parsed. Replaces the host chain concatenate -> per-frame transposed
-// slices -> astype(f32) -> multiply (~4 strided passes over the full PCM
-// on this single-core host).
-void blockpack_unpack_msb_f32(const uint8_t* buf, const int64_t* lane_off,
-                              const uint8_t* modes, const uint8_t* widths,
-                              int64_t L, int64_t nblk, const int64_t* nvalid,
-                              const int64_t* out_base, int64_t out_step,
-                              float scale, float* out) {
+                          const int64_t* out_base, int64_t out_step,
+                          float scale, float* out) {
 #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t l = 0; l < L; ++l) {
         if (out_base[l] < 0) continue;
@@ -272,33 +224,30 @@ void blockpack_unpack_msb_f32(const uint8_t* buf, const int64_t* lane_off,
         const uint8_t* wl = widths + l * nblk;
         const uint8_t* src = buf + lane_off[l];
         float* dst = out + out_base[l];
-        uint64_t acc = 0;
-        int nbits = 0;
         uint32_t c1 = 0, c2 = 0;
+        uint32_t A[32];
         for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
             const int w = wl[b];
-            const uint32_t mask = w >= 32 ? 0xFFFFFFFFu : ((1u << w) - 1u);
             const int64_t j0 = b * BLK;
-            for (int64_t j = j0; j < j0 + BLK; ++j) {
-                uint32_t z = 0;
-                if (w) {
-                    while (nbits < w) {
-                        acc |= static_cast<uint64_t>(*src++) << (56 - nbits);
-                        nbits += 8;
-                    }
-                    z = static_cast<uint32_t>(acc >> (64 - w)) & mask;
-                    acc <<= w;
-                    nbits -= w;
+            for (int g = 0; g < 8; ++g) {
+                for (int p = 0; p < w; ++p)
+                    A[31 - p] = load_le32(src + 4 * (8 * p + g));
+                for (int p = w; p < 32; ++p) A[31 - p] = 0;
+                transpose32(A);
+                for (int i = 0; i < 32; ++i) {
+                    const uint32_t z = A[31 - i];
+                    const uint32_t v = (z >> 1)
+                        ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
+                    c1 += v;
+                    c2 += c1;
+                    const int64_t j = j0 + 32 * g + i;
+                    if (j < n)
+                        dst[j * out_step] =
+                            static_cast<float>(static_cast<int32_t>(
+                                mode == 0 ? v : (mode == 1 ? c1 : c2))) * scale;
                 }
-                const uint32_t v =
-                    (z >> 1) ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
-                c1 += v;
-                c2 += c1;
-                if (j < n)
-                    dst[j * out_step] =
-                        static_cast<float>(static_cast<int32_t>(
-                            mode == 0 ? v : (mode == 1 ? c1 : c2))) * scale;
             }
+            src += 32 * w;
         }
     }
 }

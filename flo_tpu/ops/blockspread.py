@@ -311,174 +311,6 @@ def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
     )
 
 
-#: Width-granularity block for the fixed-width transport (256 codes at one
-#: bit width w — 32w bytes per block, same adaptation grain as blockpack).
-BLKW = 256
-
-
-def pack_fixed_stage1(rows, nvalid):
-    """Fixed-width download transport through the block-dense spread.
-
-    blockpack.pack_rows' semantics (per-lane none/delta/delta2 transform,
-    zigzag, per-256-code-block bit widths) WITHOUT its two per-element
-    scatters (~10 ns/element): codes become (clen = w, pattern = z MSB-
-    aligned) and flow through the shared spread machinery. The stream is
-    MSB-first with word-aligned lanes (unpack_fixed_host / the C++
-    blockpack_unpack_msb are the host inverses); every code is <= 32 bits,
-    so the patch list is structurally empty.
-
-    rows [L, S] int32, nvalid [L] -> (stage for pack_stage2, modes [L] i32,
-    widths [L, NBW] i32, lane_bytes [L] i32, lane_off [L] i32).
-    """
-    L, S = rows.shape
-    NBW = -(-S // BLKW)
-    Spad = NBW * BLKW
-    j = jnp.arange(Spad, dtype=jnp.int32)
-    valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
-    vpad = rows if Spad == S else jnp.pad(rows, ((0, 0), (0, Spad - S)))
-    v = jnp.where(valid, vpad, 0).astype(jnp.int32)
-    d1 = v - jnp.pad(v, ((0, 0), (1, 0)))[:, :Spad]
-    d2 = d1 - jnp.pad(d1, ((0, 0), (1, 0)))[:, :Spad]
-    d1 = jnp.where(valid, d1, 0)
-    d2 = jnp.where(valid, d2, 0)
-
-    z0, z1, z2 = (_zigzag_u32(x) for x in (v, d1, d2))
-
-    def wblk(z):
-        m = z.reshape(L, NBW, BLKW).max(axis=2)
-        return jnp.where(
-            m == 0, 0, 32 - jax.lax.clz(jax.lax.bitcast_convert_type(m, jnp.int32))
-        )
-
-    w0, w1, w2 = (wblk(z) for z in (z0, z1, z2))
-    s0, s1, s2 = (w.sum(axis=1) for w in (w0, w1, w2))
-    modes = jnp.where((s2 < s1) & (s2 < s0), 2, jnp.where(s1 < s0, 1, 0))
-    m1 = (modes == 1)[:, None]
-    m2 = (modes == 2)[:, None]
-    w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
-    z = jnp.where(m2[:, :], z2, jnp.where(m1[:, :], z1, z0))
-
-    # INTERIOR zero-width blocks would break the spread's empty-block
-    # handling: _spread_codes parks an empty block's cumsum deltas at the
-    # lane END word (correct for trailing empties and whole-empty lanes,
-    # where that word coincides with the next real block's start), but an
-    # empty block FOLLOWED by data in the same lane starves the word-domain
-    # cumsum for every later word — mid-lane silence decoded as zeros. The
-    # Rice transport cannot produce interior empties (every valid code is
-    # >= 1 bit); here, bump interior zero blocks to 1-bit codes (32 bytes
-    # per 256 zeros). Trailing zeros and all-silent lanes keep width 0.
-    w = jnp.where(
-        (w == 0) & (jax.lax.cummax(w, axis=1, reverse=True) > 0), 1, w
-    )
-
-    clen = jnp.repeat(w, BLKW, axis=1)  # every code in a block at width w
-    wu = jnp.clip(clen, 1, 32).astype(jnp.uint32)
-    pattern = jnp.where(clen > 0, z << (jnp.uint32(32) - wu), jnp.uint32(0))
-    zeros = jnp.zeros((L, Spad), jnp.int32)
-    stage, lane_bytes, lane_off, _bad = _spread_codes(
-        clen, pattern, zeros, jax.lax.bitcast_convert_type(zeros, jnp.uint32)
-    )
-    return stage, modes, w, lane_bytes, lane_off
-
-
-def _as_u8(buf) -> np.ndarray:
-    """bytes-like or uint8 ndarray -> contiguous uint8 ndarray (no copy for
-    an already-contiguous array or bytes)."""
-    if isinstance(buf, np.ndarray):
-        return np.ascontiguousarray(buf.view(np.uint8))
-    return np.frombuffer(buf, np.uint8)
-
-
-def unpack_fixed_host(buf, modes, widths, lane_off, nvalid, S: int):
-    """Host inverse of pack_fixed_stage1 (+stage2): MSB-first fixed-width
-    parse + un-zigzag + inverse transform -> [L, S] int32. C++ fast path
-    (native.blockpack_unpack_msb), vectorized numpy fallback."""
-    from .. import native
-
-    L, NBW = widths.shape
-    out = native.blockpack_unpack_msb(
-        _as_u8(buf),
-        np.ascontiguousarray(lane_off, np.int64),
-        np.ascontiguousarray(modes, np.uint8),
-        np.ascontiguousarray(widths, np.uint8),
-        np.ascontiguousarray(nvalid, np.int64), S,
-    )
-    if out is None:
-        out = _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S)
-    return out
-
-
-def unpack_fixed_f32_into(
-    buf, modes, widths, lane_off, nvalid, S: int,
-    out_base, out_step: int, scale: float, out: np.ndarray,
-) -> None:
-    """Fused decode finalizer: parse the fixed-width stream and write f32
-    interleaved samples in ONE host pass — lane l's sample j lands at
-    ``out[out_base[l] + j*out_step]`` scaled by ``scale``; ``out_base < 0``
-    skips the lane without parsing (pre-roll frames, mesh padding). One C++
-    pass replaces unpack -> concatenate -> per-frame transpose -> astype ->
-    multiply (~4 strided passes over the full PCM on this 1-core host)."""
-    from .. import native
-
-    modes = np.ascontiguousarray(modes, np.uint8)
-    widths = np.ascontiguousarray(widths, np.uint8)
-    lane_off = np.ascontiguousarray(lane_off, np.int64)
-    nvalid = np.ascontiguousarray(nvalid, np.int64)
-    out_base = np.ascontiguousarray(out_base, np.int64)
-    if native.blockpack_unpack_msb_f32(
-        _as_u8(buf), lane_off, modes, widths, nvalid,
-        out_base, int(out_step), float(scale), out,
-    ):
-        return
-    rows = _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S)
-    step = int(out_step)
-    for l in range(rows.shape[0]):
-        b = int(out_base[l])
-        if b < 0:
-            continue
-        n = int(nvalid[l])
-        out[b : b + n * step : step] = (
-            rows[l, :n].astype(np.float32) * np.float32(scale)
-        )
-
-
-def _unpack_fixed_np(buf, modes, widths, lane_off, nvalid, S: int):
-    b = _as_u8(buf)
-    need = int(np.max(lane_off + widths.astype(np.int64).sum(1) * 32, initial=0)) + 8
-    if len(b) < need:
-        b = np.concatenate([b, np.zeros(need - len(b), np.uint8)])
-    L, NBW = widths.shape
-    w64 = widths.astype(np.int64)
-    blk_bits = BLKW * w64
-    bit0 = (
-        np.asarray(lane_off, np.int64)[:, None] * 8
-        + np.cumsum(blk_bits, axis=1) - blk_bits
-    )  # [L, NBW] block start bits
-    jj = np.arange(S, dtype=np.int64)
-    blk = jj // BLKW
-    wj = w64[:, blk]  # [L, S]
-    bit = bit0[:, blk] + (jj % BLKW)[None, :] * wj
-    byte = bit >> 3
-    win = np.zeros((L, S), np.uint64)
-    for piece in range(5):  # codes <= 32 bits + 7 bit offset -> <= 5 bytes
-        win = (win << np.uint64(8)) | b[byte + piece].astype(np.uint64)
-    sh = (np.uint64(40) - (bit & 7).astype(np.uint64) - wj.astype(np.uint64))
-    mask = np.where(
-        wj >= 32, np.uint64(0xFFFFFFFF),
-        (np.uint64(1) << wj.astype(np.uint64)) - np.uint64(1),
-    )
-    z = ((win >> sh) & mask).astype(np.uint32)
-    v = ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).view(np.int32).reshape(L, S)
-    c1 = np.cumsum(v, axis=1, dtype=np.int32)
-    c2 = np.cumsum(c1, axis=1, dtype=np.int32)
-    modes = np.asarray(modes)
-    out = np.where(
-        (modes == 2)[:, None], c2, np.where((modes == 1)[:, None], c1, v)
-    )
-    valid = np.arange(S)[None, :] < np.asarray(nvalid, np.int64)[:, None]
-    return np.where(valid, out, 0).astype(np.int32)
-
-
 def bucket_words(n: int, floor: int = 1 << 16) -> int:
     """{1, 1.5} x 2^k growth bucket for the stage-2 word count."""
     b = floor

@@ -100,13 +100,17 @@ class TestBlockSpread:
         nvalid = np.full(L, S, np.int32)
         _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
 
-    def test_fixed_width_pack_roundtrip(self):
-        """pack_fixed_stage1 + stage2 vs both host unpackers (C++ and the
-        numpy fallback), across transform modes, w=0 lanes, partial lanes."""
+    def test_device_plane_pack_roundtrip(self):
+        """blockpack.pack_rows_stage1 + stage2 (the bit-plane PCM download
+        transport) vs both host unpackers (C++ and the numpy fallback) and
+        the fused f32 finalizer, across transform modes, w=0 lanes, partial
+        lanes, interior silence."""
         import jax
 
+        from flo_tpu.ops import blockpack
+
         rng = np.random.default_rng(9)
-        L, S = 7, 1500
+        L, S = 8, 1500
         rows = np.zeros((L, S), np.int32)
         rows[0] = rng.integers(-30000, 30000, S)        # mode 0 territory
         rows[1] = np.cumsum(rng.integers(-50, 50, S))   # smooth -> delta
@@ -115,41 +119,54 @@ class TestBlockSpread:
         rows[4] = np.cumsum(np.cumsum(rng.integers(-3, 3, S)))  # delta2
         rows[5] = rng.integers(-(2**30), 2**30, S)      # wide (w ~ 31-32)
         rows[6, :700] = rng.integers(-500, 500, 700)
-        nvalid = np.array([S, S, S, S, S, S, 700], np.int64)
+        rows[7, 512:1024] = rng.integers(-500, 500, 512)  # interior silence
+        nvalid = np.array([S, S, S, S, S, S, 700, S], np.int64)
 
         stage, modes, widths, lane_bytes, lane_off = jax.jit(
-            blockspread.pack_fixed_stage1
+            blockpack.pack_rows_stage1
         )(jnp.asarray(rows), jnp.asarray(nvalid))
         lane_bytes = np.asarray(lane_bytes)
         lane_off = np.asarray(lane_off).astype(np.int64)
-        widths_h = np.asarray(widths).astype(np.uint8)
+        widths_h = np.asarray(widths)  # already u8
         modes_h = np.asarray(modes).astype(np.uint8)
         assert np.array_equal(
-            lane_bytes, 32 * np.asarray(widths).astype(np.int64).sum(axis=1)
+            lane_bytes, 32 * widths_h.astype(np.int64).sum(axis=1)
         )
-        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
-        NW = blockspread.bucket_words(total // 4)
-        words = blockspread.pack_stage2(NW=NW, **stage)
-        buf = np.asarray(words).view(np.uint8).tobytes()
+        assert (widths_h[3] == 0).all()  # silent lane: zero payload
+        total = int(lane_off[-1] + lane_bytes[-1])
+        NW = blockspread.bucket_words(max(total // 4, 1))
+        words = blockpack.pack_rows_stage2(NW=NW, **stage)
+        buf = np.asarray(words).view(np.uint8)[:total]
 
         expect = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
-        got_np = blockspread._unpack_fixed_np(
-            buf, modes_h, widths_h, lane_off, nvalid, S
-        )
-        np.testing.assert_array_equal(got_np, expect)
-        got = blockspread.unpack_fixed_host(
-            buf, modes_h, widths_h, lane_off, nvalid, S
-        )
+        # C++ parse, then the forced-numpy path
+        got = blockpack.unpack_host(buf, modes_h, widths_h, lane_off, nvalid, S)
         np.testing.assert_array_equal(got, expect)
+        from unittest import mock
 
-        # Fused f32 finalizer: interleave lanes 0..L-1 as "channels" of one
-        # frame (step=L), skip lane 5 (base -1); vs the i32 rows oracle.
+        with mock.patch("flo_tpu.native.blockpack_unpack", return_value=None):
+            got_np = blockpack.unpack_host(
+                buf, modes_h, widths_h, lane_off, nvalid, S
+            )
+        np.testing.assert_array_equal(got_np, expect)
+
+        # Device pack bytes == host pack bytes (same format end to end).
+        buf_h, modes_hh, widths_hh, lane_off_hh = blockpack.pack_host(
+            expect, nvalid
+        )
+        np.testing.assert_array_equal(widths_hh.astype(np.int64),
+                                      widths_h.astype(np.int64))
+        np.testing.assert_array_equal(buf_h[:total], buf)
+
+        # Fused f32 finalizer: interleave lanes as "channels" of one frame
+        # (step=L), skip lane 5 (base -1); vs the i32 rows oracle; then the
+        # numpy fallback path agrees.
         step = L
         out_base = np.arange(L, dtype=np.int64)
         out_base[5] = -1
         out = np.zeros(L * S, np.float32)
         scale = 1.0 / 32767.0
-        blockspread.unpack_fixed_f32_into(
+        blockpack.unpack_f32_into(
             buf, modes_h, widths_h, lane_off, nvalid, S,
             out_base, step, scale, out,
         )
@@ -162,53 +179,15 @@ class TestBlockSpread:
                 * np.float32(scale)
             )
         np.testing.assert_array_equal(out.reshape(S, L), want)
-        # and the numpy fallback path agrees
         out2 = np.zeros(L * S, np.float32)
-        from unittest import mock
-
         with mock.patch(
-            "flo_tpu.native.blockpack_unpack_msb_f32", return_value=False
+            "flo_tpu.native.blockpack_unpack_f32", return_value=False
         ):
-            blockspread.unpack_fixed_f32_into(
+            blockpack.unpack_f32_into(
                 buf, modes_h, widths_h, lane_off, nvalid, S,
                 out_base, step, scale, out2,
             )
         np.testing.assert_array_equal(out2, out)
-
-    def test_fixed_width_interior_silence(self):
-        """Leading/mid-lane zero regions -> interior zero-width blocks. The
-        spread's empty-block deferral only handles TRAILING empties; interior
-        ones must be bumped to 1-bit codes or later words in the lane decode
-        as zeros (regression: half-silent frames decoded all-zero)."""
-        import jax
-
-        rng = np.random.default_rng(21)
-        L, S = 3, 4096
-        rows = np.zeros((L, S), np.int32)
-        rows[0, 2048:] = rng.integers(-20000, 20000, 2048)  # leading silence
-        rows[1, :1024] = rng.integers(-500, 500, 1024)      # mid silence
-        rows[1, 3072:] = rng.integers(-500, 500, 1024)
-        rows[2, :] = 0                                      # all silent: w=0
-        nvalid = np.array([S, S, S], np.int64)
-
-        stage, modes, widths, lane_bytes, lane_off = jax.jit(
-            blockspread.pack_fixed_stage1
-        )(jnp.asarray(rows), jnp.asarray(nvalid))
-        widths_h = np.asarray(widths).astype(np.uint8)
-        assert (widths_h[2] == 0).all()  # all-silent lane stays 0 bytes
-        assert (widths_h[0][: 2048 // blockspread.BLKW] >= 1).all()  # bumped
-        lane_off = np.asarray(lane_off).astype(np.int64)
-        lane_bytes = np.asarray(lane_bytes)
-        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
-        NW = blockspread.bucket_words(max(total // 4, 1))
-        words = blockspread.pack_stage2(NW=NW, **stage)
-        buf = np.asarray(words).view(np.uint8).tobytes()
-        for unpack in (blockspread.unpack_fixed_host, blockspread._unpack_fixed_np):
-            got = unpack(
-                buf, np.asarray(modes).astype(np.uint8), widths_h,
-                lane_off, nvalid, S,
-            )
-            np.testing.assert_array_equal(got, rows)
 
     def test_patch_overflow_flags_bad(self):
         """More long codes than PATCH_CAP -> affected lanes flagged bad."""

@@ -6,8 +6,8 @@ Stages (all jitted separately, same geometry as bench.py's device_decode):
   unpack      blockpack.unpack_rows (upload-transport inverse)
   recon       lpc.reconstruct_best (Pallas / scan recurrence)
   midside     the mid/side undo + reshape
-  spread1     blockspread.pack_fixed_stage1 (download transport, phase 1)
-  spread2     blockspread.pack_stage2 at the entropy bucket (phase 2)
+  dn1         blockpack.pack_rows_stage1 (bit-plane download, phase 1)
+  dn2         blockpack.pack_rows_stage2 at the entropy bucket (phase 2)
   full        the production _decode_lanes_bp + stage2 (two-phase pipelined)
 
 Run:  python tools/decode_decompose.py [n_files [seconds]]
@@ -121,20 +121,20 @@ def main():
         return fcs.reshape(-1, S)
 
     midside_j = jax.jit(lambda: midside(d_pcm))
-    spread1_j = jax.jit(lambda: blockspread.pack_fixed_stage1(d_pcm, d_nv))
+    dn1_j = jax.jit(lambda: blockpack.pack_rows_stage1(d_pcm, d_nv))
 
-    st, smodes, sw, slb, slo = spread1_j()
-    total = int(np.asarray(slo)[-1] + ((np.asarray(slb)[-1] + 3) // 4) * 4)
-    NW = blockspread.bucket_words(total // 4)
+    st, smodes, sw, slb, slo = dn1_j()
+    total = int(np.asarray(slo)[-1] + np.asarray(slb)[-1])
+    NW = blockspread.bucket_words(max(total // 4, 1))
     print(f"download payload={total/1e6:.1f} MB NW={NW}", flush=True)
-    spread2_j = lambda: blockspread.pack_stage2(NW=NW, **st)
+    dn2_j = lambda: blockpack.pack_rows_stage2(NW=NW, **st)
 
     for name, fn in (
         ("unpack", unpack_j),
         ("recon", recon_j),
         ("midside", midside_j),
-        ("spread1", spread1_j),
-        ("spread2", spread2_j),
+        ("dn1", dn1_j),
+        ("dn2", dn2_j),
     ):
         dt = _time(fn)
         print(
@@ -150,8 +150,10 @@ def main():
 
     def full2(out):
         stage, _m, _w, lb, lo = out
-        tot = int(np.asarray(lo)[-1] + ((np.asarray(lb)[-1] + 3) // 4) * 4)
-        return blockspread.pack_stage2(NW=blockspread.bucket_words(tot // 4), **stage)
+        tot = int(np.asarray(lo)[-1] + np.asarray(lb)[-1])
+        return blockpack.pack_rows_stage2(
+            NW=blockspread.bucket_words(max(tot // 4, 1)), **stage
+        )
 
     # two-phase 2-deep pipeline, same as bench.py
     _force(full2(full()))
