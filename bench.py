@@ -371,9 +371,9 @@ def main() -> None:
 
     def dd_finish(out):
         stage, _m, _w, bytes_d, _o = out
-        wp = (np.asarray(bytes_d).astype(np.int64) + 3) // 4
-        return blockspread.pack_stage2(
-            NW=blockspread.bucket_words(int(wp.sum())), **stage
+        total = int(np.asarray(bytes_d).astype(np.int64).sum())
+        return _bp.pack_rows_stage2(
+            NW=blockspread.bucket_words(max(total // 4, 1)), **stage
         )
 
     dt, lat = _time_two_phase(dd_dispatch, dd_finish)

@@ -288,15 +288,15 @@ def pack_rows_stage1(rows, nvalid):
     w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
     z = jnp.where(m2, z2, jnp.where(m1, z1, z0))
 
-    zr = z.reshape(L * NB, 8, BLK // 8)  # [block, group, i]
-    i_sh = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    planes = [
-        (((zr >> jnp.uint32(p)) & jnp.uint32(1)) << i_sh).sum(
-            axis=2, dtype=jnp.uint32
-        )
-        for p in range(32)
-    ]
-    pw = jnp.stack(planes, axis=1)  # [NBT, 32, 8]
+    # Plane production as ONE fused reduction (an unrolled 32-step loop
+    # compiles pathologically slowly through the remote compiler):
+    # pw[b, p, g] = sum_i ((z[b, 32g+i] >> p) & 1) << i.
+    zr = z.reshape(L * NB, 1, 8, 32)  # [block, 1, group, i]
+    p_sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None, None]
+    i_sh = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
+    pw = jnp.sum(
+        ((zr >> p_sh) & jnp.uint32(1)) << i_sh, axis=3, dtype=jnp.uint32
+    )  # [NBT, 32, 8]
 
     lane_bytes = 32 * w.sum(axis=1)
     lane_off = _exclusive_cumsum(lane_bytes, 0)
@@ -442,13 +442,17 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int, wmax: int = 32):
         .reshape(NBT, wmax, 8)
     )
 
-    i = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    acc = jnp.zeros((NBT, 8, 32), jnp.uint32)
-    for p in range(wmax):
-        bits = (win[:, p, :, None] >> i) & jnp.uint32(1)
-        acc = acc + jnp.where(
-            (p < wf)[:, None, None], bits << jnp.uint32(p), jnp.uint32(0)
-        )
+    # Code reconstruction as ONE fused reduction over planes:
+    # acc[b, g, i] = sum_{p < w[b]} ((win[b, p, g] >> i) & 1) << p.
+    i_sh = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
+    p_sh = jnp.arange(wmax, dtype=jnp.uint32)[None, :, None, None]
+    live = (
+        jnp.arange(wmax, dtype=jnp.int32)[None, :] < wf[:, None]
+    )[:, :, None, None]
+    bits = (win[:, :, :, None] >> i_sh) & jnp.uint32(1)
+    acc = jnp.sum(
+        jnp.where(live, bits << p_sh, jnp.uint32(0)), axis=1, dtype=jnp.uint32
+    )  # [NBT, 8, 32]
     z = acc.reshape(L, Sp)[:, :S]
 
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
