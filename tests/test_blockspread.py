@@ -189,6 +189,51 @@ class TestBlockSpread:
             )
         np.testing.assert_array_equal(out2, out)
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_device_plane_pack_fuzz_matches_host(self, seed):
+        """Random geometries: device stage1+stage2 bytes == pack_host bytes,
+        and both invert exactly (the two directions share one format)."""
+        import jax
+
+        from flo_tpu.ops import blockpack
+
+        rng = np.random.default_rng(100 + seed)
+        L = int(rng.integers(1, 9))
+        S = int(rng.integers(1, 2000))
+        rows = np.zeros((L, S), np.int32)
+        nvalid = rng.integers(0, S + 1, L).astype(np.int64)
+        for l in range(L):
+            n = int(nvalid[l])
+            kind = int(rng.integers(0, 4))
+            if kind == 0 and n:
+                rows[l, :n] = rng.integers(-(1 << 30), 1 << 30, n)
+            elif kind == 1 and n:
+                rows[l, :n] = np.cumsum(rng.integers(-100, 100, n))
+            elif kind == 2 and n:
+                rows[l, : max(n // 3, 1)] = rng.integers(-50, 50, max(n // 3, 1))
+            # kind 3: silence
+        stage, modes, widths, lane_bytes, lane_off = jax.jit(
+            blockpack.pack_rows_stage1
+        )(jnp.asarray(rows), jnp.asarray(nvalid))
+        lane_bytes = np.asarray(lane_bytes).astype(np.int64)
+        lane_off64 = np.asarray(lane_off).astype(np.int64)
+        total = int(lane_off64[-1] + lane_bytes[-1])
+        NW = blockspread.bucket_words(max(total // 4, 1))
+        buf_d = np.asarray(
+            blockpack.pack_rows_stage2(NW=NW, **stage)
+        ).view(np.uint8)[:total]
+        expect = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
+        buf_h, modes_h, widths_h, lane_off_h = blockpack.pack_host(expect, nvalid)
+        np.testing.assert_array_equal(buf_h[:total], buf_d)
+        np.testing.assert_array_equal(
+            widths_h.astype(np.int64), np.asarray(widths).astype(np.int64)
+        )
+        got = blockpack.unpack_host(
+            buf_d, np.asarray(modes).astype(np.uint8), np.asarray(widths),
+            lane_off64, nvalid, S,
+        )
+        np.testing.assert_array_equal(got, expect)
+
     def test_patch_overflow_flags_bad(self):
         """More long codes than PATCH_CAP -> affected lanes flagged bad."""
         L, S = 2, blockspread.PATCH_CAP + 64
