@@ -367,7 +367,7 @@ def main() -> None:
     )
 
     def dd_dispatch():
-        return _decode_lanes_bp(*dd_args, 2, RATE, _bp.width_bucket(upw))
+        return _decode_lanes_bp(*dd_args, 2, RATE)
 
     def dd_finish(out):
         stage, _m, _w, bytes_d, _o = out

@@ -159,10 +159,10 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
-@partial(jax.jit, static_argnames=("channels", "S", "wmax"))
+@partial(jax.jit, static_argnames=("channels", "S"))
 def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
                      orders, is_fixed, mid_side, lane_nvalid,
-                     channels: int, S: int, wmax: int = 32):
+                     channels: int, S: int):
     """Block-packed decode step: residual lanes in AND reconstructed PCM
     out through the bit-plane blockpack transport (compressed-size payloads,
     no per-code indexed ops in either direction — one 8-word-row scatter
@@ -170,7 +170,7 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
     path dispatches pack_rows_stage2 at the entropy-sized bucket). The only
     sequential device work left is the reconstruction recurrence itself."""
     rows = blockpack.unpack_rows(
-        buf, up_modes, up_widths, up_off, lane_nvalid, S, wmax
+        buf, up_modes, up_widths, up_off, lane_nvalid, S
     )
     samples = lpc.reconstruct_best(rows, coeffs, shifts, orders, is_fixed)
     fcs = samples.reshape(-1, channels, S)
@@ -272,7 +272,6 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 pb(padf(orders[lo:hi], pad_l)), pb(padf(is_fixed[lo:hi], pad_l)),
                 pb(padf(mid_side[flo_f:fhi_f], pad_f)),
                 pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
-                blockpack.width_bucket(up_widths),
             )
             # Small outputs (modes/widths/bytes) start their host copy now
             # (ready when compute ends); the payload assembly + prefix fetch

@@ -335,7 +335,6 @@ def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
             pb(np.concatenate([lane_off_up.astype(np.int32), off_pad])),
             pb(_pad_frames(frame_samples.astype(np.int32), pad_f)),
             tuple(kinds), tuple(cand_orders), C, spf,
-            blockpack.width_bucket(widths_up),
         )
         # Start host copies for the small outputs (everything but the packed
         # payload buffer [3] and the residual rows [7]).

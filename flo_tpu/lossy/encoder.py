@@ -101,15 +101,15 @@ def _encode_padded_compact(padded, sample_rate: int, thr):
     return comp, blk_nnz, row_nnz, sf
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "W", "wmax"))
+@partial(jax.jit, static_argnames=("sample_rate", "W"))
 def _encode_packed_compact(buf, modes, widths, lane_off, nvalid,
-                           sample_rate: int, thr, W: int, wmax: int = 32):
+                           sample_rate: int, thr, W: int):
     """_encode_padded_compact fed by a block-packed i16 PCM upload
     (ops/blockpack): the input crosses the wire at compressed size and the
     device recovers the [L, W] signal scan-free (gather/shift/mask)."""
     from ..ops import blockpack
 
-    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W, wmax)
+    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W)
     padded = rows.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
     return _encode_padded_compact(padded, sample_rate, thr)
 
@@ -141,7 +141,7 @@ def _dispatch_packed(rows, used, sample_rate: int, thr, mesh=None):
         _pp.put_replicated(buf, mesh), pb(padf(modes.astype(np.int32))),
         pb(padf(widths)), pb(off_padded),
         pb(padf(used.astype(np.int32))), int(sample_rate),
-        _pp.put_replicated(thr, mesh), W, blockpack.width_bucket(widths),
+        _pp.put_replicated(thr, mesh), W,
     )
 
 

@@ -58,13 +58,6 @@ def nblocks(S: int) -> int:
     return -(-S // BLK)
 
 
-def width_bucket(widths: np.ndarray) -> int:
-    """Static plane-loop bound for :func:`unpack_rows`: the batch's max
-    block width rounded up to a multiple of 8 (4 possible jit shapes)."""
-    m = int(np.max(widths, initial=0))
-    return max(8, -(-m // 8) * 8)
-
-
 # ---------------------------------------------------------------------------
 # Host half (C++ single-pass with a vectorized numpy fallback).
 # ---------------------------------------------------------------------------
@@ -242,6 +235,43 @@ def _exclusive_cumsum(x, axis):
     return c - x
 
 
+def _bit_transpose32(R):
+    """Vectorized 32x32 bit-matrix transpose over the LAST axis (= 32 rows
+    of u32): bit p of row i lands at row 31-p, bit 31-i (same orientation
+    as native/blockpack.cpp transpose32). 5 masked-swap steps, pure
+    elementwise + reshapes — no large intermediates, unlike a 4-D
+    bit-reduction, whose [*, 32, 8, 32] operand costs ~2.7 GB of HBM per
+    bulk chunk and stalls the overlapped pipelines."""
+    m = jnp.uint32(0x0000FFFF)
+    j = 16
+    shape = R.shape
+    while j:
+        Rr = R.reshape(shape[:-1] + (32 // (2 * j), 2, j))
+        a = Rr[..., 0, :]
+        b = Rr[..., 1, :]
+        t = (a ^ (b >> j)) & m
+        R = jnp.stack([a ^ t, b ^ (t << j)], axis=-2).reshape(shape)
+        j >>= 1
+        if j:
+            m = m ^ (m << jnp.uint32(j))
+    return R
+
+
+def _codes_to_planes(z):
+    """[N, 8, 32] zigzag codes (group g, code i) -> plane words [N, 32, 8]
+    (plane p, group g): pw[n, p, g] bit i == bit p of z[n, g, 32g+i]."""
+    T = _bit_transpose32(jnp.flip(z, axis=-1))
+    return jnp.swapaxes(jnp.flip(T, axis=-1), -1, -2)
+
+
+def _planes_to_codes(pw):
+    """Inverse of _codes_to_planes: [N, 32, 8] plane words -> [N, 8, 32]
+    codes. Plane rows past a block's width must be zero (they are, both in
+    the wire format and in the scatter-built window)."""
+    R = jnp.flip(jnp.swapaxes(pw, -1, -2), axis=-1)
+    return jnp.flip(_bit_transpose32(R), axis=-1)
+
+
 def pack_rows_stage1(rows, nvalid):
     """Device pack, phase 1 (download direction): [L, S] int32 -> bit-plane
     blocks in the same wire format pack_host emits, so the host inverse is
@@ -288,15 +318,12 @@ def pack_rows_stage1(rows, nvalid):
     w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
     z = jnp.where(m2, z2, jnp.where(m1, z1, z0))
 
-    # Plane production as ONE fused reduction (an unrolled 32-step loop
-    # compiles pathologically slowly through the remote compiler):
-    # pw[b, p, g] = sum_i ((z[b, 32g+i] >> p) & 1) << i.
-    zr = z.reshape(L * NB, 1, 8, 32)  # [block, 1, group, i]
-    p_sh = jnp.arange(32, dtype=jnp.uint32)[None, :, None, None]
-    i_sh = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
-    pw = jnp.sum(
-        ((zr >> p_sh) & jnp.uint32(1)) << i_sh, axis=3, dtype=jnp.uint32
-    )  # [NBT, 32, 8]
+    # Plane production = the vectorized 32x32 bit transpose (the same
+    # algorithm the C++ half uses). Two rejected alternates, measured: an
+    # unrolled 32-step reduce loop never finishes the remote compile, and
+    # a single 4-D masked reduction materializes a [NBT, 32, 8, 32]
+    # operand (~2.7 GB/chunk) that collapses the overlapped headline pass.
+    pw = _codes_to_planes(z.reshape(L * NB, 8, 32))  # [NBT, 32, 8]
 
     lane_bytes = 32 * w.sum(axis=1)
     lane_off = _exclusive_cumsum(lane_bytes, 0)
@@ -379,29 +406,29 @@ def unpack_f32_into(
         )
 
 
-def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int, wmax: int = 32):
+def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
     """Device inverse of pack_host -> [L, S] int32 (zeros past nvalid).
 
     buf: [B] u8 (>= total + PAD_BYTES, B a multiple of 32); widths: [L, NB]
-    u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L];
-    wmax: static plane-loop bound (pass :func:`width_bucket` of the host
-    widths; must be >= every block width).
+    u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L].
 
     No per-code indexed ops. The payload is a stream of 8-word PLANE UNITS
     (plane p of block b), which blocks tile contiguously, so each unit's
     destination (block, plane) is recovered with two per-BLOCK delta
     scatters + unit-domain cumsums, and ONE row scatter places every unit
-    into its padded [NBT, wmax, 8] window slot (payload/32 bytes indices —
+    into its padded [NBT, 32, 8] window slot (payload/32 bytes indices —
     8x fewer than the retired per-word expansion, and each moves a 32-byte
     run). Pad/bucket units beyond the payload are all-zero bytes and land
-    in plane rows the accumulation masks (p >= block width) or are dropped
-    (p >= wmax). The codes are then rebuilt by a fused per-plane
-    shift/mask accumulation — pure vector arithmetic.
+    in plane rows past the block's width, which the inverse transpose
+    reads as zero bits. The codes are then rebuilt by the vectorized
+    32x32 bit transpose — pure vector arithmetic.
 
-    (Two alternatives measured on this chip and rejected: per-word delta
-    scatter + flat cumsum ~196 ms per bulk chunk, and a vmap(dynamic_slice)
+    (Alternatives measured on this chip and rejected: per-word delta
+    scatter + flat cumsum ~196 ms per bulk chunk; a vmap(dynamic_slice)
     per-block window gather, which XLA unrolls into a >100 MB binary with
-    0.1-2.4 s dispatch — tools/gather_microbench.py / decode_decompose.py.)
+    0.1-2.4 s dispatch; and 4-D bit reductions, whose giant operands stall
+    the overlapped bulk pass — tools/gather_microbench.py /
+    decode_decompose.py.)
     """
     L, NB = widths.shape
     NBT = L * NB
@@ -413,7 +440,6 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int, wmax: int = 32):
     )  # [unit, group word, LE bytes]
 
     w = widths.astype(jnp.int32)
-    wf = w.reshape(-1)  # [NBT]
     # First plane unit of each block: lane byte offset / 32 + widths cumsum.
     unit0 = (lane_off.astype(jnp.int32) >> 5)[:, None] + _exclusive_cumsum(w, 1)
     u0f = unit0.reshape(-1)
@@ -430,30 +456,22 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int, wmax: int = 32):
     blk_of_unit = jnp.cumsum(seedB)
     p_of_unit = jnp.arange(NU, dtype=jnp.int32) - jnp.cumsum(seedU)
     dst = jnp.where(
-        (p_of_unit >= 0) & (p_of_unit < wmax),
-        blk_of_unit * wmax + p_of_unit,
-        NBT * wmax,
+        (p_of_unit >= 0) & (p_of_unit < 32),
+        blk_of_unit * 32 + p_of_unit,
+        NBT * 32,
     )
     win = (
-        jnp.zeros((NBT * wmax, 8), jnp.uint32)
+        jnp.zeros((NBT * 32, 8), jnp.uint32)
         .at[dst]
         .set(U.reshape(NU, 8), mode="drop", indices_are_sorted=True,
              unique_indices=True)
-        .reshape(NBT, wmax, 8)
+        .reshape(NBT, 32, 8)
     )
 
-    # Code reconstruction as ONE fused reduction over planes:
-    # acc[b, g, i] = sum_{p < w[b]} ((win[b, p, g] >> i) & 1) << p.
-    i_sh = jnp.arange(32, dtype=jnp.uint32)[None, None, None, :]
-    p_sh = jnp.arange(wmax, dtype=jnp.uint32)[None, :, None, None]
-    live = (
-        jnp.arange(wmax, dtype=jnp.int32)[None, :] < wf[:, None]
-    )[:, :, None, None]
-    bits = (win[:, :, :, None] >> i_sh) & jnp.uint32(1)
-    acc = jnp.sum(
-        jnp.where(live, bits << p_sh, jnp.uint32(0)), axis=1, dtype=jnp.uint32
-    )  # [NBT, 8, 32]
-    z = acc.reshape(L, Sp)[:, :S]
+    # Code reconstruction = the inverse bit transpose. Plane rows past a
+    # block's width are zero by construction (only live units were
+    # scattered), so no width mask is needed.
+    z = _planes_to_codes(win).reshape(L, Sp)[:, :S]
 
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
     c1 = jnp.cumsum(v, axis=1, dtype=jnp.int32)

@@ -248,10 +248,9 @@ def encode_select_device(pcm16, nvalid_f, kinds: tuple, cand_orders: tuple):
     )
 
 
-@partial(jax.jit, static_argnames=("kinds", "cand_orders", "C", "S", "wmax"))
+@partial(jax.jit, static_argnames=("kinds", "cand_orders", "C", "S"))
 def encode_select_packed(buf, modes, widths, lane_off, nvalid_f,
-                         kinds: tuple, cand_orders: tuple, C: int, S: int,
-                         wmax: int = 32):
+                         kinds: tuple, cand_orders: tuple, C: int, S: int):
     """encode_select_device fed by a block-packed PCM UPLOAD: the host ships
     ops/blockpack.pack_host's buffer (compressed size) instead of an i16
     tensor, and the device recovers the [F, C, S] PCM lanes scan-free
@@ -261,7 +260,7 @@ def encode_select_packed(buf, modes, widths, lane_off, nvalid_f,
 
     F = nvalid_f.shape[0]
     nv_lane = jnp.repeat(nvalid_f.astype(jnp.int32), C)
-    pcm = unpack_rows(buf, modes, widths, lane_off, nv_lane, S, wmax)
+    pcm = unpack_rows(buf, modes, widths, lane_off, nv_lane, S)
     return _select_device_core(pcm.reshape(F, C, S), nvalid_f, kinds, cand_orders)
 
 

@@ -71,19 +71,20 @@ def test_host_pack_host_unpack_exact():
 
 
 @pytest.mark.parametrize("seed", [0, 3])
-def test_device_unpack_bucketed_wmax(seed):
-    """unpack_rows with the tight width_bucket bound equals the full
-    32-plane default."""
+def test_device_unpack_bucketed_buffer(seed):
+    """unpack_rows on a bucket-padded buffer (the production shape) equals
+    the tight buffer."""
     rows, nvalid = _lanes(seed)
     L, S = rows.shape
     buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
-    wmax = blockpack.width_bucket(widths)
-    fn = jax.jit(blockpack.unpack_rows, static_argnames=("S", "wmax"))
+    nb = 1 << (len(buf) - 1).bit_length()
+    bufp = np.concatenate([buf, np.zeros(nb - len(buf), np.uint8)])
+    fn = jax.jit(blockpack.unpack_rows, static_argnames=("S",))
     out = np.asarray(
         fn(
-            jnp.asarray(buf), jnp.asarray(modes.astype(np.int32)),
+            jnp.asarray(bufp), jnp.asarray(modes.astype(np.int32)),
             jnp.asarray(widths), jnp.asarray(lane_off.astype(np.int32)),
-            jnp.asarray(nvalid.astype(np.int32)), S, wmax,
+            jnp.asarray(nvalid.astype(np.int32)), S,
         )
     )
     want = np.where(np.arange(S)[None, :] < nvalid[:, None], rows, 0)
