@@ -460,12 +460,29 @@ def main() -> None:
     ok, total = corpus_bit_exact()
     bit_exact = (ok / total) if total else None
 
+    # Tunnel context: the headline is wire-bound through the dev tunnel, and
+    # its bandwidth swings 0.8-34 MB/s between runs (measured 2026-08-17) —
+    # record a probe alongside the number so each run carries its weather.
+    def _wire_probe(mb: int = 8):
+        buf = np.random.default_rng(7).integers(0, 256, mb << 20, np.uint8)
+        t0 = time.time()
+        d = jax.device_put(buf)
+        d.block_until_ready()
+        up = mb / max(time.time() - t0, 1e-9)
+        t0 = time.time()
+        np.asarray(d)
+        dn = mb / max(time.time() - t0, 1e-9)
+        return round(up, 1), round(dn, 1)
+
+    up_mbs, dn_mbs = _wire_probe()
+
     result = {
         "metric": "audio-seconds encoded+decoded/sec/chip (lossless+lossy)",
         "value": round(value, 2),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(value / NORTH_STAR, 4),
         "platform": platform,
+        "tunnel_mbs": {"up": up_mbs, "down": dn_mbs},
         "workload": (
             f"{BATCH_FILES}x{WORKLOAD_SECONDS}s 44.1kHz stereo x{ITERS} iters, "
             f"bulk lossless+lossy encode+decode, {headline_content} content"

@@ -118,7 +118,14 @@ def _loudness_fast(per_ch: np.ndarray, sample_rate: int) -> ebu_r128.LoudnessMet
             frac = pos - i
             return vals[i] * (1.0 - frac) + vals[i + 1] * frac if i + 1 < len(vals) else vals[i]
 
-        lra = float(interp(0.95 * (n_final - 1)) - interp(0.10 * (n_final - 1)))
+        # Inputs at the f32 extreme (|x| ~ 1e38) push block energies to inf,
+        # so inf - inf here is NaN — the same value the reference's f64 math
+        # produces (ebu_r128.rs:322-345). Keep the semantics, mute the numpy
+        # warning.
+        with np.errstate(invalid="ignore"):
+            lra = float(
+                interp(0.95 * (n_final - 1)) - interp(0.10 * (n_final - 1))
+            )
     return ebu_r128.LoudnessMetrics(float(integrated), lra, true_peak, sample_peak_dbfs)
 
 
