@@ -269,12 +269,14 @@ def main() -> None:
             _force(out)
         return (time.time() - t0) / reps
 
-    def _time_two_phase(dispatch, finish, reps=5):
-        """Steady-state seconds/pass of a two-phase device pass, 2-deep
-        pipelined: the next pass's phase 1 is dispatched before this pass's
+    def _time_two_phase(dispatch, finish, reps=6, depth=3):
+        """Steady-state seconds/pass of a two-phase device pass, `depth`-deep
+        pipelined: later passes' phase 1 is dispatched before this pass's
         tiny size download, so the device never idles during the inter-phase
         round trip — the same overlap the chunked production pipelines get
-        from _start_chunk_fetch's phase-1 loop. Also returns the single-shot
+        from _start_chunk_fetch's phase-1 loop (dispatchers start the size
+        arrays' host copies, so by finish() time they are resident and the
+        tunnel RTT is off the critical path). Also returns the single-shot
         latency."""
         t0 = time.time()
         _force(finish(dispatch()))  # compile both phases
@@ -282,22 +284,26 @@ def main() -> None:
         t0 = time.time()
         _force(finish(dispatch()))
         latency = time.time() - t0
-        states = [dispatch()]
-        prev = None
+        states = [dispatch() for _ in range(depth)]
+        words = []
         t0 = time.time()
         for _ in range(reps):
             states.append(dispatch())
-            w = finish(states.pop(0))
-            if prev is not None:
-                _force(prev)
-            prev = w
-        _force(prev)
+            words.append(finish(states.pop(0)))
+            if len(words) > depth:
+                _force(words.pop(0))
+        for w in words:
+            _force(w)
         return (time.time() - t0) / reps, latency
 
     from flo_tpu.ops import blockspread
 
+    from flo_tpu.futures import start_host_copy as _shc
+
     def dk_dispatch():
-        return encode_select_device(pcm_dev, nv_dev, kinds, orders)
+        out = encode_select_device(pcm_dev, nv_dev, kinds, orders)
+        _shc(out[4], out[5])  # size arrays: resident before finish() needs them
+        return out
 
     def dk_finish(out):
         """Phase 2 of the production pass: tiny size download, then the
@@ -367,7 +373,9 @@ def main() -> None:
     )
 
     def dd_dispatch():
-        return _decode_lanes_bp(*dd_args, 2, RATE)
+        out = _decode_lanes_bp(*dd_args, 2, RATE)
+        _shc(out[3])
+        return out
 
     def dd_finish(out):
         stage, _m, _w, bytes_d, _o = out
@@ -402,7 +410,9 @@ def main() -> None:
     thrq = np.float32(_thr(q_med))
 
     def dm_dispatch():
-        return _encode_padded_compact(stackb_dev, RATE, thrq)
+        out = _encode_padded_compact(stackb_dev, RATE, thrq)
+        _shc(out[2])
+        return out
 
     def dm_finish(out):
         comp_d, blk_nnz_d, row_nnz_d, _sf = out
