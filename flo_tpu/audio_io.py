@@ -1,18 +1,19 @@
 """Audio file ingest/egress (the reflo/src/audio.rs equivalent).
 
-The reference wraps Symphonia for MP3/WAV/FLAC/OGG/AAC input; this
-environment has no audio-codec libraries, so ingest implements the formats
-decodable FAITHFULLY from their specifications offline: WAV (PCM
-u8/i16/i24/i32 and IEEE float32/64), AIFF / AIFF-C (vendored parser — the
-stdlib `aifc` module is gone in Python 3.13), FLAC (flo_tpu.flac, built on
-this codebase's own LPC/Rice machinery), and Ogg Vorbis (flo_tpu.vorbis —
-Vorbis is self-describing, so no fixed tables need transcribing).
+The reference wraps Symphonia for MP3/WAV/FLAC/OGG/AAC input. Here, the
+formats decodable FAITHFULLY from their specifications offline are
+implemented from spec: WAV (PCM u8/i16/i24/i32 and IEEE float32/64),
+AIFF / AIFF-C (vendored parser — the stdlib `aifc` module is gone in
+Python 3.13), FLAC (flo_tpu.flac, built on this codebase's own LPC/Rice
+machinery), and Ogg Vorbis (flo_tpu.vorbis — Vorbis is self-describing,
+so no fixed tables need transcribing).
 
-MP3 and AAC raise a clear error. Not for patent reasons (MP3's patents
-expired in 2017): both formats depend on large normative constant tables
-(layer-III Huffman code tables, the 512-tap synthesis window, AAC
-codebooks) that cannot be reproduced faithfully in this offline
-environment, and an unfaithful decoder would silently corrupt audio.
+MP3 is ingested through the system libmpg123 (flo_tpu.mp3, ctypes) — the
+same design as the reference's Symphonia wrapping: MP3's normative
+Huffman/synthesis tables are opaque constant blobs that cannot be
+re-derived or verified offline, so the battle-tested system decoder is
+the faithful choice. AAC raises a clear error (no system decoder with a
+stable C ABI is present, and its codebooks have the same opacity).
 
 WAV output matches the reference's 32-bit-float writer
 (reflo/src/audio.rs:284-320) byte-for-byte.
@@ -221,11 +222,24 @@ def read_audio_from_bytes(data: bytes):
 
         d = vorbis.decode(data)
         return d.samples, d.sample_rate, d.channels, d.metadata
-    if data[:3] == b"ID3" or data[:2] == b"\xff\xfb":
+    if len(data) > 11 and data[4:8] == b"ftyp":
         raise UnsupportedFormatError(
-            "MP3 input is not supported: its normative Huffman/synthesis "
-            "tables cannot be reproduced faithfully offline"
+            "AAC/MP4 input is not supported: no system decoder is present "
+            "and AAC's normative codebooks cannot be reproduced faithfully "
+            "offline"
         )
+    if len(data) > 1 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
+        # ADTS sync with layer bits 00 = raw AAC stream, not MPEG audio.
+        raise UnsupportedFormatError(
+            "AAC (ADTS) input is not supported: no system decoder is present"
+        )
+    if data[:3] == b"ID3" or (
+        len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        from . import mp3
+
+        d = mp3.decode(data)
+        return d.samples, d.sample_rate, d.channels, d.metadata
     raise UnsupportedFormatError("unrecognized audio format")
 
 

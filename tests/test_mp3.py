@@ -1,0 +1,146 @@
+"""MP3 ingest (flo_tpu.mp3 over the system libmpg123) vs lame ground truth.
+
+The writer side (tests/mp3_writer.py, libmp3lame) is an independent
+canonical encoder, so these tests exercise exactly the reference's headline
+CLI flow `flo encode in.mp3 out.flo` (reflo/src/main.rs:218-290) against
+real-world files.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from flo_tpu import audio_io, cli, mp3
+from tests import mp3_writer as mw
+
+pytestmark = pytest.mark.skipif(
+    not (mp3.available() and mw.available()),
+    reason="system libmpg123/libmp3lame not present",
+)
+
+
+def _tone(rate, seconds, channels, seed=3):
+    n = int(rate * seconds)
+    t = np.arange(n) / rate
+    rng = np.random.default_rng(seed)
+    out = np.empty(n * channels, np.float32)
+    for c in range(channels):
+        f = 330.0 * (c + 1)
+        out[c::channels] = 0.45 * np.sin(2 * np.pi * f * t) + 0.02 * rng.standard_normal(n)
+    return out
+
+
+def _snr(ref, got):
+    n = min(len(ref), len(got))
+    ref, got = ref[:n].astype(np.float64), got[:n].astype(np.float64)
+    err = ref - got
+    return 10 * np.log10(np.mean(ref**2) / max(np.mean(err**2), 1e-30))
+
+
+class TestDecode:
+    @pytest.mark.parametrize("channels", [1, 2])
+    def test_roundtrip_snr(self, channels):
+        rate = 44100
+        x = _tone(rate, 1.0, channels)
+        data = mw.write_mp3(x, rate, channels, 192)
+        d = mp3.decode(data)
+        assert d.sample_rate == rate and d.channels == channels
+        # lame's gapless header makes decoded length sample-exact.
+        assert len(d.samples) == len(x)
+        assert _snr(x, d.samples) > 20.0
+
+    def test_low_rate_mono(self):
+        rate = 16000
+        x = _tone(rate, 0.5, 1)
+        d = mp3.decode(mw.write_mp3(x, rate, 1, 64))
+        assert d.sample_rate == rate and d.channels == 1
+        assert _snr(x, d.samples) > 15.0
+
+    def test_dispatch_via_audio_io(self):
+        x = _tone(44100, 0.25, 2)
+        samples, rate, ch, md = audio_io.read_audio_from_bytes(
+            mw.write_mp3(x, 44100, 2, 128)
+        )
+        assert (rate, ch) == (44100, 2)
+        assert md.source_format == "mp3"
+
+    def test_garbage_rejected(self):
+        with pytest.raises(audio_io.UnsupportedFormatError):
+            mp3.decode(b"\xff\xfbjunk" + b"\x00" * 64)
+
+    def test_aac_rejected_not_routed_to_mp3(self):
+        adts = bytes([0xFF, 0xF1, 0x50, 0x80, 0x00, 0x1F, 0xFC]) + b"\x00" * 32
+        with pytest.raises(audio_io.UnsupportedFormatError, match="AAC"):
+            audio_io.read_audio_from_bytes(adts)
+        m4a = b"\x00\x00\x00\x18ftypM4A \x00" + b"\x00" * 32
+        with pytest.raises(audio_io.UnsupportedFormatError, match="AAC"):
+            audio_io.read_audio_from_bytes(m4a)
+
+
+class TestId3:
+    def test_lame_tags(self):
+        x = _tone(44100, 0.2, 1)
+        data = mw.write_mp3(
+            x, 44100, 1, 128,
+            tags={"title": "Song", "artist": "Band", "album": "LP",
+                  "year": "2023", "track": "5", "comment": "note"},
+        )
+        md = mp3.decode(data).metadata
+        assert md.title == "Song" and md.artist == "Band" and md.album == "LP"
+        assert md.year == 2023 and md.track_number == 5 and md.comment == "note"
+
+    def test_id3v24_synthetic_unicode(self):
+        # Hand-built v2.4 tag: syncsafe frame sizes, UTF-8 text, TDRC, APIC.
+        def frame(fid, body):
+            sz = len(body)
+            ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F, sz & 0x7F])
+            return fid + ss + b"\x00\x00" + body
+
+        frames = (
+            frame(b"TIT2", b"\x03T\xc3\xa9st\x00")
+            + frame(b"TPE1", b"\x01\xff\xfeB\x00j\x00\xf6\x00r\x00k\x00")
+            + frame(b"TDRC", b"\x032019-05-01")
+            + frame(b"TBPM", b"\x00128.5")
+            + frame(b"APIC", b"\x00image/png\x00\x03desc\x00PNGBYTES")
+        )
+        sz = len(frames)
+        tag = b"ID3\x04\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + frames
+        md, consumed = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert consumed == 10 + sz
+        assert md.title == "Tést"
+        assert md.artist == "Björk"
+        assert md.year == 2019
+        assert md.bpm == 128.5
+        assert md.cover_art == ("image/png", b"PNGBYTES")
+
+    def test_no_tag(self):
+        md, consumed = mp3.parse_id3v2(b"\xff\xfb\x00\x00")
+        assert consumed == 0 and md.title is None
+
+
+class TestCliFlow:
+    def test_encode_mp3_to_flo(self, tmp_path):
+        """`flo encode in.mp3 out.flo` — the reference's headline flow."""
+        rate = 44100
+        x = _tone(rate, 1.0, 2)
+        src = tmp_path / "in.mp3"
+        src.write_bytes(mw.write_mp3(
+            x, rate, 2, 192, tags={"title": "FromMp3", "artist": "A"}
+        ))
+        dst = tmp_path / "out.flo"
+        assert cli.main(["encode", str(src), str(dst)]) == 0 and dst.exists()
+
+        from flo_tpu import lib, reflo
+
+        blob = dst.read_bytes()
+        assert lib.validate(blob)
+        decoded, drate, dch = reflo.decode_to_samples(blob)
+        assert (drate, dch) == (rate, 2)
+        assert _snr(x, np.asarray(decoded)) > 18.0
+        meta = lib.get_metadata(blob)
+        assert meta.title == "FromMp3" and meta.artist == "A"
+        assert meta.source_format == "mp3"
