@@ -64,7 +64,10 @@ def _loudness_fast(per_ch: np.ndarray, sample_rate: int) -> ebu_r128.LoudnessMet
     # bulk analysis. Same block boundaries as the reference loop
     # (ebu_r128.rs:196-218): starts at 0, hop, ...; the final block clamps
     # to n and iteration stops once a block reaches the end.
-    kk = kw * kw
+    # f32-extreme inputs (|x| ~ 1e38) overflow to inf here; that propagates
+    # to the same inf/NaN gating values the reference's f64 math produces.
+    with np.errstate(over="ignore"):
+        kk = kw * kw
     nseg = n // hop
     seg = kk[:, : nseg * hop].reshape(C, nseg, hop).sum(axis=2)
     tail = kk[:, nseg * hop :].sum(axis=1)  # partial last hop (may be empty)

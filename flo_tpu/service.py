@@ -9,6 +9,10 @@ CLI grows a `flo serve` subcommand to run it.
 
 Endpoints (POST body = binary unless noted):
 
+  GET  /demo (also /)                   self-contained browser demo page
+                                        (the Demo/ analog: encode an upload,
+                                        info/metadata/loudness, waveform,
+                                        playback, .flo/.wav download)
   GET  /v1/version                      {"version": "1.2"}
   POST /v1/encode?sample_rate&channels[&level]       raw f32 LE -> flo
   POST /v1/encode_lossy?sample_rate&channels[&quality]   (quality u8 0-4)
@@ -100,6 +104,11 @@ def _handle(path: str, query: dict, body: bytes):
     if path == "/v1/version":
         return 200, "application/json", json.dumps({"version": flo_tpu.version()}).encode(), {}
 
+    if path in ("/demo", "/demo/", "/"):
+        from .demo_page import PAGE
+
+        return 200, "text/html; charset=utf-8", PAGE.encode(), {}
+
     if path == "/v1/encode":
         samples = np.frombuffer(body, dtype="<f4")
         data = flo_tpu.encode(
@@ -132,7 +141,9 @@ def _handle(path: str, query: dict, body: bytes):
 
     if path == "/v1/encode_file":
         if "quality" in query:
-            opts = reflo.EncodeOptions.lossy(QUALITY_U8_TO_F32[min(q1("quality"), 4)])
+            opts = reflo.EncodeOptions.lossy_quality(
+                QUALITY_U8_TO_F32[min(q1("quality"), 4)]
+            )
         elif "bitrate_kbps" in query:
             opts = reflo.EncodeOptions.lossy_bitrate(q1("bitrate_kbps"))
         else:

@@ -107,6 +107,19 @@ class TestService:
         out = flo_tpu.decode(flo)
         assert np.abs(out - s).max() <= 1 / 32768 + 1e-6
 
+    def test_encode_file_lossy_and_bitrate(self, server_url):
+        """Regression: ?quality= once crashed on EncodeOptions.lossy (the
+        bool field) instead of lossy_quality; exercise both lossy variants."""
+        from flo_tpu import audio_io
+
+        s = sine(330, 8000, 0.5, channels=2)
+        wav = audio_io.write_wav_to_bytes(s, 8000, 2)
+        for qs in ("quality=2", "bitrate_kbps=128"):
+            _, _, flo = _post(server_url, f"/v1/encode_file?{qs}", wav)
+            assert flo[:4] == b"FLO!"
+            status, _, body = _post(server_url, "/v1/info", flo)
+            assert status == 200 and json.loads(body)["is_lossy"]
+
     def test_seek(self, server_url):
         s = sine(100, 2000, 3.0)
         flo = flo_tpu.encode(s, 2000, 1, analyze=False)
@@ -147,3 +160,14 @@ class TestService:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req)
         assert e.value.code == 404
+
+
+class TestDemoPage:
+    def test_demo_served(self, server_url):
+        status, body = _get(server_url, "/demo")
+        assert status == 200
+        html = body.decode()
+        assert "<!doctype html>" in html and "/v1/encode_file" in html
+        # Root serves the same page for convenience.
+        status2, body2 = _get(server_url, "/")
+        assert status2 == 200 and body2 == body
