@@ -22,14 +22,35 @@ from .lossy import encoder as _lossy_encoder
 from .lossy.presets import QUALITY_U8_TO_F32
 
 
-def _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze):
+def _analyzed_metas_async(samples_list, sample_rate, channels, metadata_list, analyze):
     """Reference facade behavior: every encoded file gets analysis metadata
-    (waveform/fingerprint/loudness/length_ms) embedded, lib.rs:219-283."""
+    (waveform/fingerprint/loudness/length_ms) embedded, lib.rs:219-283.
+
+    Returns a zero-arg callable producing the metadata list. With
+    analyze=True the pass runs on a worker thread so it overlaps the encode
+    pipeline's wire waits: the analysis path touches ONLY numpy + the ctypes
+    kernels (both release the GIL) and never jax, so it cannot trip the
+    single-client device-tunnel constraint that keeps the pipelines
+    themselves single-threaded (see PARITY.md)."""
     if not analyze:
-        return metadata_list
+        return lambda: metadata_list
+    import threading
+
     from .core.analysis_batch import analyze_many
 
-    return analyze_many(samples_list, sample_rate, channels, metadata_list)
+    box: list = []
+
+    def run():
+        box.append(analyze_many(samples_list, sample_rate, channels, metadata_list))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def get():
+        t.join()
+        return box[0]
+
+    return get
 
 
 def encode_many_async(
@@ -54,16 +75,20 @@ def encode_many_async(
     fut = _lossless_encoder.encode_many_to_frames_async(
         samples_list, sample_rate, channels, level, "device"
     )
-    metas = _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze)
-    metas = metas or [b""] * len(samples_list)
-    return fut.then(
-        lambda frames_per_file: [
+    get_metas = _analyzed_metas_async(
+        samples_list, sample_rate, channels, metadata_list, analyze
+    )
+
+    def fin(frames_per_file):
+        metas = get_metas() or [b""] * len(samples_list)
+        return [
             writer.write(
                 int(sample_rate), int(channels), int(bit_depth), level, frames, meta
             )
             for frames, meta in zip(frames_per_file, metas)
         ]
-    )
+
+    return fut.then(fin)
 
 
 def encode_many(
@@ -104,18 +129,22 @@ def encode_lossy_many_async(
     fut = _lossy_encoder.encode_many_to_frames_async(
         samples_list, sample_rate, channels, q, transport_dtype
     )
-    metas = _analyzed_metas(samples_list, sample_rate, channels, metadata_list, analyze)
-    metas = metas or [b""] * len(samples_list)
+    get_metas = _analyzed_metas_async(
+        samples_list, sample_rate, channels, metadata_list, analyze
+    )
     q_u8 = min(int(quality), 4)
-    return fut.then(
-        lambda frames_per_file: [
+
+    def fin(frames_per_file):
+        metas = get_metas() or [b""] * len(samples_list)
+        return [
             writer.write(
                 int(sample_rate), int(channels), 16, 5, frames, meta,
                 lossy=True, lossy_quality=q_u8,
             )
             for frames, meta in zip(frames_per_file, metas)
         ]
-    )
+
+    return fut.then(fin)
 
 
 def encode_lossy_many(

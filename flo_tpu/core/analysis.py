@@ -194,7 +194,10 @@ def extract_spectral_fingerprint(
         (bands / max_e * 255.0).astype(np.uint8) if max_e > 0 else np.zeros(16, np.uint8)
     )
 
-    ms = float(np.mean(samples.astype(np.float64) ** 2))
+    ss = native.sumsq_f32(samples)
+    if ss is None:  # portable fallback (no toolchain)
+        ss = float(np.sum(samples.astype(np.float64) ** 2))
+    ms = ss / samples.size
     avg_loudness = int(np.clip(-20.0 * np.log10(ms + 1e-10), -60.0, 0.0) + 60.0)
 
     return SpectralFingerprint(

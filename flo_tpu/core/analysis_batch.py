@@ -25,6 +25,40 @@ from . import analysis, ebu_r128
 from .metadata import FloMetadata, LoudnessPoint
 
 
+def _loudness_fast_interleaved(
+    samples: np.ndarray, channels: int, sample_rate: int
+) -> ebu_r128.LoudnessMetrics:
+    """compute_ebu_r128_loudness via ONE fused native pass over the
+    interleaved f32 signal (native/analysis.cpp loudness_pass: deinterleave,
+    sample peak, true-peak FIR, K-weighting biquads, per-hop energy sums —
+    no Python-side copies). Falls back to the per_ch composition path."""
+    C = max(int(channels), 1)
+    samples = np.ascontiguousarray(samples, dtype=np.float32).reshape(-1)
+    n = samples.size // C
+    if n == 0:
+        return ebu_r128.LoudnessMetrics()
+    sr = float(sample_rate)
+    hop = int(round(sr * 0.1))
+    sb, sa, hb, ha = ebu_r128.k_weighting_coeffs(sr)
+    cf = np.concatenate([sb, sa[1:], hb, ha[1:]])
+    h = ebu_r128._true_peak_kernel(sr)
+    out = native.loudness_pass(samples[: n * C], C, cf, h, 24, hop)
+    if out is None:
+        per_ch = np.ascontiguousarray(
+            samples[: n * C].reshape(n, C).T.astype(np.float64)
+        )
+        return _loudness_fast(per_ch, sample_rate)
+    seg_sum, tp, peak = out
+    sample_peak_dbfs = 20.0 * math.log10(peak) if peak > 1e-6 else -150.0
+    true_peak = 20.0 * math.log10(tp) if tp > 1e-9 else -150.0
+    nseg = n // hop
+    bounds = np.concatenate([np.arange(nseg + 1, dtype=np.int64) * hop, [n]])
+    seg_cum = np.concatenate([[0.0], np.cumsum(seg_sum)])
+    return _gate_metrics(
+        seg_cum[None, :], bounds, n, nseg, hop, true_peak, sample_peak_dbfs
+    )
+
+
 def _loudness_fast(per_ch: np.ndarray, sample_rate: int) -> ebu_r128.LoudnessMetrics:
     """compute_ebu_r128_loudness with the native biquad/FIR kernels.
 
@@ -57,7 +91,6 @@ def _loudness_fast(per_ch: np.ndarray, sample_rate: int) -> ebu_r128.LoudnessMet
         true_peak = 20.0 * math.log10(m) if m > 1e-9 else -150.0
 
     hop = int(round(sr * 0.1))
-    block = hop * 4
     # 400 ms / 100 ms gating blocks via per-hop segment sums (one pass over
     # the signal) instead of a full f64 cumsum + Python block loop — those
     # two cost ~315 ms per minute of audio on this 1-core host and dominated
@@ -76,6 +109,13 @@ def _loudness_fast(per_ch: np.ndarray, sample_rate: int) -> ebu_r128.LoudnessMet
     seg_cum = np.concatenate(
         [np.zeros((C, 1)), np.cumsum(seg_all, axis=1)], axis=1
     )  # cumsum over ~n/hop entries, not n
+    return _gate_metrics(seg_cum, bounds, n, nseg, hop, true_peak, sample_peak_dbfs)
+
+
+def _gate_metrics(seg_cum, bounds, n, nseg, hop, true_peak, sample_peak_dbfs):
+    """Shared BS.1770 gating over per-hop energy cumsums (either per-channel
+    [C, nseg+2] or pre-summed [1, nseg+2])."""
+    block = hop * 4
 
     starts_idx = []
     start = 0
@@ -154,10 +194,7 @@ def analyze_one(
         fp = analysis.extract_spectral_fingerprint(samples, channels, sample_rate)
         meta.spectrum_fingerprint = fp.to_bytes()
     if not meta.loudness_profile:
-        per_ch = np.ascontiguousarray(
-            samples[: n * C].reshape(n, C).T.astype(np.float64)
-        )
-        metrics = _loudness_fast(per_ch, sample_rate)
+        metrics = _loudness_fast_interleaved(samples, C, sample_rate)
         meta.loudness_profile = [
             LoudnessPoint(timestamp_ms=0, lufs=float(metrics.integrated_lufs))
         ]

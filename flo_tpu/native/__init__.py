@@ -106,8 +106,16 @@ _SIGNATURES = {
             _f64p, ctypes.c_int64, ctypes.c_int64, _f64p, ctypes.c_int64,
             ctypes.c_int64, _f64p,
         ],
+        "loudness_pass": [
+            _f32p, ctypes.c_int64, ctypes.c_int64, _f64p, _f64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _f64p, _f64p,
+        ],
+        "sumsq_f32": [_f32p, ctypes.c_int64],
     },
 }
+
+#: fn -> ctypes restype for non-void natives (ctypes defaults to c_int).
+_RESTYPES = {"sumsq_f32": ctypes.c_double}
 
 
 def _build(src: pathlib.Path, out: pathlib.Path) -> bool:
@@ -141,6 +149,8 @@ def _load(name: str):
             lib = ctypes.CDLL(str(so))
             for fn, argtypes in _SIGNATURES[name].items():
                 getattr(lib, fn).argtypes = argtypes
+                if fn in _RESTYPES:
+                    getattr(lib, fn).restype = _RESTYPES[fn]
         except OSError:
             lib = None
         _libs[name] = lib
@@ -517,6 +527,44 @@ def fir_absmax(x: np.ndarray, h: np.ndarray, center: int):
         len(h), center, _ptr(out, ctypes.c_double),
     )
     return out
+
+
+def loudness_pass(interleaved: np.ndarray, channels: int, cf: np.ndarray,
+                  h: np.ndarray, center: int, hop: int):
+    """Fused EBU R128 prep: (seg_energy_sums, true_peak, sample_peak) or None.
+
+    interleaved: f32 [n*C]; returns (seg f64 [n//hop + 1] summed over
+    channels — element [n//hop] is the partial tail — tp_linear,
+    sample_peak_linear).
+    """
+    lib = _load("analysis")
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(interleaved, dtype=np.float32)
+    C = max(int(channels), 1)
+    n = x.size // C
+    nseg = n // hop if hop > 0 else 0
+    seg = np.zeros(nseg + 1, dtype=np.float64)
+    peaks = np.zeros(2, dtype=np.float64)
+    cf = np.ascontiguousarray(cf, dtype=np.float64)
+    h = np.ascontiguousarray(h, dtype=np.float64)
+    lib.loudness_pass(
+        _ptr(x, ctypes.c_float), n, C, _ptr(cf, ctypes.c_double),
+        _ptr(h, ctypes.c_double), len(h), center, hop,
+        _ptr(seg, ctypes.c_double), _ptr(peaks, ctypes.c_double),
+    )
+    return seg, float(peaks[0]), float(peaks[1])
+
+
+def sumsq_f32(x: np.ndarray):
+    """f64-accumulated sum of squares of an f32 array, or None."""
+    lib = _load("analysis")
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    if x.size == 0:
+        return 0.0
+    return float(lib.sumsq_f32(_ptr(x, ctypes.c_float), x.size))
 
 
 def sparse_decode_entries(blobs, width: int):
