@@ -412,66 +412,61 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
     buf: [B] u8 (>= total + PAD_BYTES, B a multiple of 32); widths: [L, NB]
     u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L].
 
-    No per-code indexed ops. The payload is a stream of 8-word PLANE UNITS
-    (plane p of block b), which blocks tile contiguously, so each unit's
-    destination (block, plane) is recovered with two per-BLOCK delta
-    scatters + unit-domain cumsums, and ONE row scatter places every unit
-    into its padded [NBT, 32, 8] window slot (payload/32 bytes indices —
-    8x fewer than the retired per-word expansion, and each moves a 32-byte
-    run). Pad/bucket units beyond the payload are all-zero bytes and land
-    in plane rows past the block's width, which the inverse transpose
-    reads as zero bits. The codes are then rebuilt by the vectorized
-    32x32 bit transpose — pure vector arithmetic.
+    NO indexed scatter anywhere — the whole unpack is one aligned bit
+    transpose plus two block-row gathers:
 
-    (Alternatives measured on this chip and rejected: per-word delta
-    scatter + flat cumsum ~196 ms per bulk chunk; a vmap(dynamic_slice)
-    per-block window gather, which XLA unrolls into a >100 MB binary with
-    0.1-2.4 s dispatch; and 4-D bit reductions, whose giant operands stall
-    the overlapped bulk pass — tools/gather_microbench.py /
-    decode_decompose.py.)
+    1. View the payload as ALIGNED TILES of 32 consecutive 8-word plane
+       units and inverse-bit-transpose every tile in place (pure vector
+       arithmetic over the payload — compressed size, not window size):
+       ``Ttile[t, g, i]`` bit r == bit i of unit ``32t+r``'s word g.
+    2. A block whose first unit sits at ``u0 = 32*t0 + s`` owns plane p's
+       bits at tile-transposed bit position ``s+p`` — i.e. its codes are
+       ``(Ttile[t0] >> s) | (Ttile[t0+1] << (32-s))`` masked to its width
+       (bits >= w belong to later blocks; bits < s were earlier blocks').
+       Two row gathers (1 KB rows, one index per BLOCK — payload/1024
+       bytes of indices) replace the previous per-unit row SCATTER into a
+       padded [NBT, 32, 8] window, which at ~88 ns/scatter-index cost
+       ~81 ms per 29 MB bulk chunk — 87% of the whole unpack
+       (tools/decode_decompose.py DCE breakdown, r3). PAD_BYTES = 1024 is
+       exactly one tile, so ``t0+1`` is always in bounds for live blocks;
+       for dead/tail blocks the width mask zeroes whatever was read.
+
+    (Alternatives measured on this chip and rejected: per-unit row scatter
+    into the padded window, 81 ms/chunk as above; per-word delta scatter +
+    flat cumsum ~196 ms; a vmap(dynamic_slice) per-block window gather,
+    which XLA unrolls into a >100 MB binary with 0.1-2.4 s dispatch; and
+    4-D bit reductions, whose giant operands stall the overlapped bulk
+    pass — tools/gather_microbench.py / decode_decompose.py.)
     """
     L, NB = widths.shape
     NBT = L * NB
     Sp = NB * BLK
-    NWb = buf.shape[0] // 4
-    NU = NWb // 8
-    U = jax.lax.bitcast_convert_type(
-        buf[: NU * 32].reshape(NU, 8, 4), jnp.uint32
-    )  # [unit, group word, LE bytes]
+    NT = buf.shape[0] // 1024  # aligned 32-unit tiles (PAD_BYTES = 1 tile)
+    W32 = jax.lax.bitcast_convert_type(
+        buf[: NT * 1024].reshape(NT, 32, 8, 4), jnp.uint32
+    )  # [tile, unit-in-tile, group word, LE bytes]
+    # Same planes->codes orientation as the window path: bit r of
+    # Ttile[t, g, i] == bit i of payload unit (32t+r)'s word g.
+    Ttile = _planes_to_codes(W32)  # [NT, 8, 32]
 
     w = widths.astype(jnp.int32)
     # First plane unit of each block: lane byte offset / 32 + widths cumsum.
     unit0 = (lane_off.astype(jnp.int32) >> 5)[:, None] + _exclusive_cumsum(w, 1)
     u0f = unit0.reshape(-1)
-    pos = jnp.minimum(u0f, NU)  # w=0 blocks telescope; tail blocks drop
-    bid = jnp.arange(NBT, dtype=jnp.int32)
-    dB = bid - jnp.concatenate([jnp.zeros(1, jnp.int32), bid[:-1]])
-    dU = u0f - jnp.concatenate([jnp.zeros(1, jnp.int32), u0f[:-1]])
-    seedB = jnp.zeros((NU,), jnp.int32).at[pos].add(
-        dB, mode="drop", indices_are_sorted=True
+    t0 = jnp.clip(u0f >> 5, 0, NT - 1)
+    s = (u0f & 31).astype(jnp.uint32)[:, None, None]
+    T0 = jnp.take(Ttile, t0, axis=0)  # [NBT, 8, 32]
+    T1 = jnp.take(Ttile, jnp.minimum(t0 + 1, NT - 1), axis=0)
+    hi = jnp.where(
+        s > 0, T1 << ((jnp.uint32(32) - s) & jnp.uint32(31)), jnp.uint32(0)
     )
-    seedU = jnp.zeros((NU,), jnp.int32).at[pos].add(
-        dU, mode="drop", indices_are_sorted=True
-    )
-    blk_of_unit = jnp.cumsum(seedB)
-    p_of_unit = jnp.arange(NU, dtype=jnp.int32) - jnp.cumsum(seedU)
-    dst = jnp.where(
-        (p_of_unit >= 0) & (p_of_unit < 32),
-        blk_of_unit * 32 + p_of_unit,
-        NBT * 32,
-    )
-    win = (
-        jnp.zeros((NBT * 32, 8), jnp.uint32)
-        .at[dst]
-        .set(U.reshape(NU, 8), mode="drop", indices_are_sorted=True,
-             unique_indices=True)
-        .reshape(NBT, 32, 8)
-    )
-
-    # Code reconstruction = the inverse bit transpose. Plane rows past a
-    # block's width are zero by construction (only live units were
-    # scattered), so no width mask is needed.
-    z = _planes_to_codes(win).reshape(L, Sp)[:, :S]
+    wf = w.reshape(-1)
+    mask = jnp.where(
+        wf >= 32,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << jnp.minimum(wf, 31).astype(jnp.uint32)) - 1,
+    )[:, None, None]
+    z = (((T0 >> s) | hi) & mask).reshape(L, Sp)[:, :S]
 
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
     c1 = jnp.cumsum(v, axis=1, dtype=jnp.int32)

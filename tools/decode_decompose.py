@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 
 def _setup_cache():
     import jax
@@ -100,10 +102,8 @@ def main():
     d_rows = jax.device_put(res_rows)
     d_pcm = jax.device_put(pcm_f)
 
-    wmax = blockpack.width_bucket(widths)
-    print(f"wmax bucket = {wmax}", flush=True)
     unpack_j = jax.jit(
-        lambda: blockpack.unpack_rows(d_buf, d_modes, d_widths, d_off, d_nv, S, wmax)
+        lambda: blockpack.unpack_rows(d_buf, d_modes, d_widths, d_off, d_nv, S)
     )
     recon_j = jax.jit(lambda: lpc.reconstruct_best(d_rows, d_coeffs, d_shifts, d_orders, d_fixed))
 
@@ -145,7 +145,7 @@ def main():
     def full():
         return _decode_lanes_bp(
             d_buf, d_modes, d_widths, d_off, d_coeffs, d_shifts, d_orders,
-            d_fixed, d_ms, d_nv, CH, S, wmax,
+            d_fixed, d_ms, d_nv, CH, S,
         )
 
     def full2(out):

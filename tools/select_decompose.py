@@ -9,7 +9,8 @@ Times, on device-resident input at the bench's device_kernels geometry
   scan        encode_select_step's candidate scan only (tables precomputed)
   winner      one residuals_one pass (the winner rematerialization)
   onecand     residuals_one + candidate_size for a single candidate
-  pack        ricepack.pack_lanes only
+  pack1       blockspread.pack_stage1 (candidate-independent spread)
+  pack2       blockspread.pack_stage2 at the entropy-sized bucket
 
 Prints one line per stage: name, hot ms/call, implied audio-sec/sec.
 """
@@ -43,7 +44,7 @@ def main():
         residuals_one,
         candidate_size,
     )
-    from flo_tpu.ops.ricepack import pack_lanes
+    from flo_tpu.ops import blockspread
 
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
@@ -164,12 +165,22 @@ def main():
     timeit("winner", lambda: winner(lanes_d, nvalid_d, c1, s1, o1, f1))
     timeit("onecand", lambda: onecand(lanes_d, nvalid_d, c1, s1, o1, f1))
 
-    # --- pack only
+    # --- pack only (two-phase blockspread, same split the production
+    # encoder dispatches: stage1 in the select jit, stage2 at the bucket
+    # sized from the downloaded lane sizes)
     res_h = np.asarray(winner(lanes_d, nvalid_d, c1, s1, o1, f1))
     k_h = np.asarray(onecand(lanes_d, nvalid_d, c1, s1, o1, f1)[1])
     res_d, k_d = d(res_h), d(k_h)
     raw_d = d(np.zeros(L, bool))
-    timeit("pack", lambda: pack_lanes(res_d, k_d, nvalid_d, raw_d))
+    stage1_j = jax.jit(
+        lambda r, k, nv, raw: blockspread.pack_stage1(r, k, nv, raw)
+    )
+    timeit("pack1", lambda: stage1_j(res_d, k_d, nvalid_d, raw_d))
+    stage, lane_bytes, lane_off, bad = stage1_j(res_d, k_d, nvalid_d, raw_d)
+    total = int(np.asarray(lane_off)[-1] + np.asarray(lane_bytes)[-1])
+    NW = blockspread.bucket_words(max(total // 4, 1))
+    print(f"payload={total/1e6:.1f} MB NW={NW}", flush=True)
+    timeit("pack2", lambda: blockspread.pack_stage2(NW=NW, **stage))
 
 
 if __name__ == "__main__":
