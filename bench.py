@@ -193,10 +193,12 @@ def main() -> None:
 
     def run_cfg(name, enc, dec, material):
         dec(enc(material))  # warmup: compile any config-specific programs
-        t0 = time.time()
-        datas = enc(material)
-        outs = dec(datas)
-        dt = time.time() - t0
+        dt = float("inf")
+        for _ in range(2):  # best-of-2: a single multi-second tunnel stall
+            t0 = time.time()  # otherwise halves a config's reported value
+            datas = enc(material)
+            outs = dec(datas)
+            dt = min(dt, time.time() - t0)
         ratio = len(material[0]) * 2 / len(datas[0])
         configs[name] = {"value": round(cfg_audio / dt, 1), "ratio": round(ratio, 2)}
         return datas, outs
