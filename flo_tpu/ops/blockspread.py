@@ -262,6 +262,8 @@ def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
     """
     NBLK = rows.shape[0]
     pos = jnp.minimum(W0_pos, NW)  # run-off tail -> dropped
+    # (A fused [NW, 2] two-column seed scatter was measured SLOWER —
+    # 49.7 vs 40.9 ms — the minor dim 2 wastes 126/128 vreg lanes.)
     seedB = jnp.zeros((NW,), jnp.int32).at[pos].add(db, mode="drop", indices_are_sorted=True)
     seedW = jnp.zeros((NW,), jnp.int32).at[pos].add(dw, mode="drop", indices_are_sorted=True)
     B1 = jnp.cumsum(seedB)
@@ -291,15 +293,21 @@ def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
             acc = acc + jnp.where(in_code, bit << (31 - s2), 0)
         return acc
 
-    for t in range(PATCH_WORDS):
-        contrib = code_word(t)
-        tgt = jnp.where(p_live & (contrib != 0), first_word + t, NW)
-        words = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(words, jnp.int32)
-            .at[tgt]
-            .add(contrib, mode="drop"),
-            jnp.uint32,
-        )
+    # All PATCH_WORDS contributions in ONE scatter-add: ten sequential
+    # .at[].add passes on the [NW] words array each risk a full aliasing
+    # copy of the payload between scatters.
+    contribs = jnp.stack([code_word(t) for t in range(PATCH_WORDS)])
+    tgts = jnp.where(
+        p_live[None, :] & (contribs != 0),
+        first_word[None, :] + jnp.arange(PATCH_WORDS, dtype=p_s.dtype)[:, None],
+        NW,
+    )
+    words = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(words, jnp.int32)
+        .at[tgts.reshape(-1)]
+        .add(contribs.reshape(-1), mode="drop"),
+        jnp.uint32,
+    )
     # Byte-swap on device: the stream is MSB-first within each u32, so
     # emitting the swapped word makes the host's little-endian u32 buffer
     # equal the byte stream — the download needs no host-side byteswap copy.

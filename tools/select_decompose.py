@@ -70,13 +70,18 @@ def main():
     def _force(out):
         return np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
 
-    def timeit(name, fn, reps=5):
+    def timeit(name, fn, reps=20):
         t0 = time.time()
         _force(fn())
         print(f"{name:10s} compile+run {time.time()-t0:7.1f} s", flush=True)
+        # Enqueue reps back-to-back, force only the last: the device runs
+        # them in order, so one download RTT bounds the whole queue (a
+        # per-rep force would add a ~25 ms tunnel RTT floor to every rep).
+        outs = []
         t0 = time.time()
         for _ in range(reps):
-            _force(fn())
+            outs.append(fn())
+        _force(outs[-1])
         dt = (time.time() - t0) / reps
         print(
             f"{name:10s} hot {dt*1e3:8.1f} ms   -> {audio_sec/dt:8.0f} au-s/s",
