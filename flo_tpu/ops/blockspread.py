@@ -1,47 +1,57 @@
-"""Device Rice bitstream packing v2: block-dense spread, no per-code scatters.
+"""Device Rice bitstream packing v3: block-dense spread, hierarchical
+barrel-shift merge, wide-tile gather assembly. No per-element indexed ops
+touch the payload anywhere.
 
 Replaces ops/ricepack.pack_lanes as the production encoder transport. The
-round-2 packer spread per-code deltas over a 169M-element BIT domain; on this
-chip every per-code indexed op (scatter/gather at ~10M indices) costs
-~10 ns/element, so that design spent ~425 ms per [240, 44100] batch — the
-entire gap between the measured candidate search (~12 ms) and the 1000x
-realtime target (tools/pack_primitives.py, tools/select_decompose.py).
+design history, driven by on-chip microbenchmarks (tools/pack2_probe*.py):
 
-This design touches indices only per-BLOCK (32 codes), ~330k of them:
+- Round-2 v1 spread per-code deltas over a 169M-element BIT domain. Every
+  per-code indexed op costs ~7 ns/index on this chip -> ~425 ms/batch.
+- v2 (round 3) spread codes densely within 32-code blocks (no indexing),
+  then expanded blocks to the word domain with per-WORD bookkeeping: two
+  [NW] delta-scatter+cumsums (~7 ms) plus one flat per-word gather
+  (~28-30 ms at the bench geometry). Gather/scatter cost is per-ELEMENT
+  (~3-7 ns) below 32-word granularity — the per-word expand was the
+  binding cost of the whole encode pass.
+- v3 (this file) exploits the measured gather cliff: 8/16-word row gathers
+  still pay ~2.5 ns/element, but >=32-word rows run at memory speed
+  (17 MB moved: x8 10.7 ms, x16 8.6 ms, x32 1.2 ms, x128 0.28 ms). So:
 
-1. Elementwise per code: bit length ``clen`` and the 32-bit MSB-aligned
-   pattern (identical math to ricepack: unary ones, terminator, remainder —
-   or the raw LE16 pattern).
-2. Per-lane bit offsets via a two-level cumsum (block sums + in-block log
-   shifts — no flat 10M cumsum); lanes are word-aligned as before.
-3. DENSE within-block spread: each 32-code block's bits land in at most 34
-   consecutive output words starting at its absolute word W0; row word j is
-   a broadcast compare-select-sum over the block's codes (measured ~6 ms,
-   no indexing). A block's boundary straddle word overlaps the next block's
-   word 0 and is folded in with one tiny per-block gather ("the move").
-4. Assembly WITHOUT per-word windowed writes (XLA windowed scatter measured
-   1.15 s): scatter per-block (index, W0) DELTAS at the 330k block start
-   words, cumsum over the word domain, and every output word w computes its
-   covering block b and offset j = w - W0[b] arithmetically; one flat gather
-   ``rows[b*34 + j]`` yields the word. The gather is the only O(words)
-   indexed op, so stage 2 takes a bucketed word count: callers download the
-   exact lane sizes (tiny) after stage 1 and dispatch stage 2 at the
-   entropy-sized bucket instead of the 16-bit/sample worst case.
-5. Codes that cannot live in a 34-word row — >32-bit Rice codes (format-legal
-   up to 271 bits, rice.rs caps quotients at 255) and codes pushed past word
-   32 by one — are excluded from the spread and written whole by a compacted
-   patch pass (<= PATCH_CAP codes; beyond that the affected lanes fall back
-   to exact host re-packing, as before).
+  1. Elementwise per code (unchanged from v2): bit length ``clen`` and the
+     32-bit MSB-aligned pattern (unary ones, terminator, remainder — or
+     the raw LE16 pattern).
+  2. DENSE within-block spread (unchanged): each 32-code block's bits land
+     in a 34-word row starting at its absolute word W0; row word j is a
+     broadcast compare-select-sum over the block's codes. No indexing.
+  3. Hierarchical MERGE: 7 rounds of pairwise barrel-shift OR fuse block
+     rows into 128-block SUPERROWS [NSB, 4224], each dense at word 0
+     (measured 15.2 ms at the bench geometry — pure vector selects).
+     Straddle words need no special fold: adjacent segments' bits are
+     disjoint in the shared word, so OR merges them.
+  4. Wide-tile assembly: the output is cut into 128-word TILES. Each tile
+     is covered by the superblock owning its first word plus at most
+     RCAND-1 superblocks starting inside it (every fully-valid superblock
+     advances >=128 words, so coverage is <=2 there). Per candidate: one
+     or two ALIGNED 128-word unit gathers from the superrows (memory
+     speed) + a 7-step barrel shift + a validity mask. All bookkeeping
+     (tile -> owning superblock) runs on the NSB~2.6k and NT=NW/128
+     domains — thousands of indices, not millions.
+  5. Codes that cannot live in a 34-word row — >32-bit Rice codes
+     (format-legal up to 271 bits, reference rice.rs caps quotients at
+     255) and codes displaced past word 32 by one — are excluded from the
+     spread and written whole by a compacted patch pass (<= PATCH_CAP
+     codes). Lanes whose geometry breaks the fast path's static bounds
+     (patch overflow, >32-word block advances, >RCAND-1 superblock starts
+     in one tile) are flagged ``bad`` and re-packed exactly on the host,
+     as before.
 
-Output contract (same as ricepack.pack_lanes, but words): for every
-non-flagged lane, the byte stream ``words.view(u8)[off[l]:off[l]+n[l]]`` is
-byte-for-byte identical to ``rice_host.encode(residuals[l, :n[l]], k[l])``;
-raw lanes carry verbatim LE16 codes. Lane offsets are word-aligned. The
-MSB-first word→byte swap happens ON DEVICE at the end of pack_stage2 (4
-vector shift/ors) so the downloaded u32 buffer's little-endian host layout
-IS the byte stream — fetch_words_finish is a zero-copy view, not the
-byteswap+tobytes double copy it replaces (~2 host passes over the payload
-per pass on this single-core host).
+Output contract (same as v2): for every non-flagged lane, the byte stream
+``words.view(u8)[off[l]:off[l]+n[l]]`` is byte-for-byte identical to
+``rice_host.encode(residuals[l, :n[l]], k[l])``; raw lanes carry verbatim
+LE16 codes. Lane offsets are word-aligned. The MSB-first word->byte swap
+happens ON DEVICE at the end of pack_stage2 (4 vector shift/ors) so the
+downloaded u32 buffer's little-endian host layout IS the byte stream —
+fetch_words_finish is a zero-copy view.
 """
 
 from __future__ import annotations
@@ -55,6 +65,22 @@ import numpy as np
 #: Codes per spread block. 32 codes * <=32 bits + straddle -> 34-word rows.
 BLKC = 32
 ROWW = 34
+
+#: Blocks per superblock (merge fan-in) and output tile width in words.
+GBLK = 128
+TILE = 128
+
+#: Superrow padded width: content <= GBLK*32+1 = 4097 words; the owner
+#: window reads up to content_start + TILE - 1 -> 4096 + 127 < 4224.
+SUPW = 4224
+_SUP_UNITS = SUPW // TILE  # 33
+
+#: Static superblock candidates per output tile: the owner of the tile's
+#: first word + up to RCAND-1 superblocks starting inside the tile. A
+#: fully-valid superblock advances >=GBLK words >= TILE, so coverage is
+#: <=2 there; short/ragged lanes can exceed RCAND and fall back to exact
+#: host re-packing via the ``bad`` flags.
+RCAND = 4
 
 #: Static cap on patched codes (>32-bit or overflow-wi) per pack call.
 PATCH_CAP = 16384
@@ -125,7 +151,8 @@ def pack_stage1(residuals, k, nvalid, is_raw):
 def _spread_codes(clen, pattern, q, u_rice):
     """Shared stage-1 core: variable-length codes [L, S] (bit length `clen`,
     first-32-bits MSB-aligned `pattern`, Rice (q, u) for >32-bit patch
-    tails) -> block spread + deltas + patch list + lane sizes."""
+    tails) -> merged superrows + tile-assembly bookkeeping + patch list +
+    lane sizes."""
     L, S = clen.shape
     NBL = -(-S // BLKC)  # blocks per lane
     Sp = NBL * BLKC
@@ -150,10 +177,6 @@ def _spread_codes(clen, pattern, q, u_rice):
     # Absolute bit start per code; block word starts.
     abs_start = (lane_woff[:, None] << 5) + within  # [L, Sp]
     W0 = ((lane_woff << 5)[:, None] + blk_off) >> 5  # [L, NBL]
-    lane_end_word = (lane_woff + lane_words)[:, None]
-    # Empty blocks scatter at the lane's end word: real blocks there win by
-    # flat order, and the run-off tail resolves to zero rows.
-    W0_pos = jnp.where(blk_bits > 0, W0, lane_end_word).reshape(-1)
     W0_flat = W0.reshape(-1)
     NBLK = L * NBL
 
@@ -177,102 +200,274 @@ def _spread_codes(clen, pattern, q, u_rice):
         axis=1,
     )  # [NBLK, ROWW] u32
 
-    # Fold each block's straddle word into the next block's word 0.
-    adv = jnp.concatenate([W0_pos[1:], total_words[None]]) - W0_flat
-    moved = jnp.where(
-        (adv >= 1) & (adv < ROWW),
-        jnp.take_along_axis(rows, jnp.clip(adv, 0, ROWW - 1)[:, None], axis=1)[:, 0],
-        jnp.uint32(0),
+    # Word advance per block (includes lane-end word-align padding; the
+    # straddle word at local index adv_b overlaps the next block's word 0
+    # and is merged by OR below — bits are disjoint).
+    adv = jnp.concatenate([W0_flat[1:], total_words[None]]) - W0_flat
+
+    # --- Hierarchical merge: block rows -> GBLK-block superrows. Each
+    # round pairs rows and ORs the right row barrel-shifted by the left
+    # row's accumulated advance. log2(GBLK) rounds of pure vector selects
+    # (measured 15.2 ms at the bench geometry vs ~37 ms for the v2
+    # per-word seeds+cumsum+gather expansion this replaces).
+    NBLKP = -(-NBLK // GBLK) * GBLK
+    padb = NBLKP - NBLK
+    adv_p = jnp.pad(adv, (0, padb)) if padb else adv
+    m_rows = jnp.pad(rows, ((0, padb), (0, 0))) if padb else rows
+    m_adv = adv_p
+    W0p = (
+        jnp.concatenate([W0_flat, jnp.full((padb,), 1, jnp.int32) * total_words])
+        if padb
+        else W0_flat
     )
-    rows = rows.at[:, 0].add(jnp.concatenate([jnp.zeros(1, jnp.uint32), moved[:-1]]))
+    # Pair slicing via reshape (contiguous column slices): 1-D stride-2
+    # slicing lowers to a relayout on this chip — a scalar replica of this
+    # loop on [N_k] arrays alone measured 17.5 ms; reshape-based 4.5 ms.
+    W = ROWW
+    rnd = 1
+    while W < SUPW:
+        W_out = min(2 * W, SUPW)
+        r2 = m_rows.reshape(-1, 2 * W)
+        left = r2[:, :W]
+        right = r2[:, W:]
+        a2 = m_adv.reshape(-1, 2)
+        s = a2[:, 0]
+        x = jnp.pad(right, ((0, 0), (0, W_out - W)))
+        for bit in range(rnd + 5):
+            sv = 1 << bit
+            x = jnp.where(((s & sv) != 0)[:, None], jnp.pad(x, ((0, 0), (sv, 0)))[:, :W_out], x)
+        m_rows = jnp.pad(left, ((0, 0), (0, W_out - W))) | x
+        m_adv = a2[:, 0] + a2[:, 1]
+        W = W_out
+        rnd += 1
+    sup = m_rows  # [NSB, SUPW] u32, dense at word 0
+    advs = m_adv  # [NSB] content words (straddle excluded)
+    NSB = NBLKP // GBLK
+    S0 = W0p[::GBLK]  # [NSB] absolute word start
 
-    # Per-block (index, W0) deltas for the stage-2 word-domain expansion.
-    bidx = jnp.arange(NBLK, dtype=jnp.int32)
-    db = bidx - jnp.concatenate([jnp.zeros(1, jnp.int32), bidx[:-1]])
-    dw = W0_flat - jnp.concatenate([jnp.zeros(1, jnp.int32), W0_flat[:-1]])
+    # Placement-overflow flag: a block's LIVE bits always sit in [0, ROWW)
+    # of its row, so if every block in a superblock advances <= 32 words,
+    # every merge round's placement fits with slack (adv_left + ce_right
+    # <= 32*2^rnd + 2 <= 34*2^rnd = W_out, barrel budget 2^(rnd+5)-1 >=
+    # 2^(rnd+4) = max adv_left). A block advancing >32 words is possible
+    # only via patch-displaced gaps (>=2 long codes in one 32-code block
+    # — a k-estimation catastrophe, never isolated spikes); those
+    # superblocks may lose/garble bits WITHIN their own span (assembly
+    # reads are masked to [0, adv]) and their lanes are flagged for exact
+    # host re-packing. advs > SUPW-TILE additionally would let an owner
+    # window (start <= advs) read past the superrow into the next row's
+    # unit 0 unmasked.
+    sb_over = jnp.any(adv_p.reshape(NSB, GBLK) > BLKC, axis=1) | (advs > SUPW - TILE)
 
-    # Compacted patch list (>32-bit codes and overflow-wi codes). Patches are
-    # rare, so compact in two levels with cumsum-rank + tiny scatters — a
-    # flat jnp.nonzero over L*Sp codes lowers to a full device sort
-    # (~100 ms at this geometry; tools/stage1_decompose.py).
+    # --- Tile-assembly bookkeeping (NSB domain, ~thousands of elements).
+    sidx = jnp.arange(NSB, dtype=jnp.int32)
+    nonempty = advs > 0
+    # Next nonempty superblock strictly after s, shifted so that
+    # nxtx[pos + 1] walks the chain from pos (pos = -1 starts at the
+    # first nonempty superblock overall).
+    nn = jax.lax.cummin(jnp.where(nonempty, sidx, NSB), reverse=True)
+    nxtx = jnp.concatenate([nn, jnp.full((2,), NSB, jnp.int32)])
+    # Owner deltas: owner[u] = last nonempty s with S0_s < 128*u, via a
+    # delta scatter at tile (S0>>7)+1 and a cumsum in stage 2.
+    pni = jax.lax.cummax(jnp.where(nonempty, sidx, -1))
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), pni[:-1]])
+    own_ds = jnp.where(nonempty, sidx - prev, 0)
+    own_t = jnp.where(nonempty, (S0 >> 7) + 1, jnp.int32(1 << 30))
+    S0x = jnp.concatenate([S0, jnp.full((1,), 1 << 29, jnp.int32)])
+    advx = jnp.concatenate([advs, jnp.full((1,), -1, jnp.int32)])
+
+    # --- Fast-path violations -> per-lane bad flags (host re-pack).
+    # (a) Merge placement overflow (sb_over, computed above).
+    # (b) More than RCAND-1 nonempty superblocks starting in one tile:
+    #     the candidate loop can't cover the tile. Detect via the
+    #     (RCAND-1)-th previous nonempty superblock sharing the tile.
+    rk = jnp.cumsum(nonempty.astype(jnp.int32)) - 1
+    posn = (
+        jnp.full((NSB,), NSB, jnp.int32)
+        .at[jnp.where(nonempty, rk, NSB)]
+        .set(sidx, mode="drop")
+    )
+    t_s = S0 >> 7
+    prevK = posn[jnp.clip(rk - (RCAND - 1), 0, NSB - 1)]
+    crowded = nonempty & (rk >= RCAND - 1) & (jnp.take(t_s, prevK) == t_s)
+
+    # Mark every lane whose words intersect a polluted region. Lane of a
+    # word via binary search over the (sorted) lane word offsets; range
+    # marking via +-1 scatters and a cumsum over the tiny [L] domain.
+    def lane_of(w):
+        return jnp.clip(
+            jnp.searchsorted(lane_woff, w, side="right").astype(jnp.int32) - 1,
+            0,
+            L - 1,
+        )
+
+    markers = jnp.zeros((L + 1,), jnp.int32)
+    crow_i = crowded.astype(jnp.int32)
+    markers = markers.at[lane_of(t_s * TILE)].add(crow_i, mode="drop")
+    markers = markers.at[lane_of(t_s * TILE + (TILE - 1)) + 1].add(-crow_i, mode="drop")
+    over_i = (sb_over & nonempty).astype(jnp.int32)
+    markers = markers.at[lane_of(S0)].add(over_i, mode="drop")
+    markers = markers.at[lane_of(S0 + advs) + 1].add(-over_i, mode="drop")
+    lane_cov_bad = (jnp.cumsum(markers)[:L] > 0) & (lane_words > 0)
+
+    # --- Compacted patch list (>32-bit codes and overflow-wi codes).
+    # Patches are rare, so compact in two levels with cumsum-rank + tiny
+    # scatters — a flat jnp.nonzero over L*Sp codes lowers to a full
+    # device sort (~100 ms at this geometry; tools/stage1_decompose.py).
     qp = jnp.pad(q, ((0, 0), (0, pad))) if pad else q
     up = jnp.pad(u_rice, ((0, 0), (0, pad))) if pad else u_rice
     patch_b = is_patch.reshape(NBLK, BLKC)
     blk_has = jnp.any(patch_b, axis=1)
     n_pblk = jnp.sum(blk_has, dtype=jnp.int32)
-    brank = jnp.cumsum(blk_has.astype(jnp.int32)) - 1
-    bdest = jnp.where(blk_has, brank, PATCH_BLOCKS)
-    bidx_sel = (
-        jnp.full((PATCH_BLOCKS,), NBLK, jnp.int32)
-        .at[bdest]
-        .set(jnp.arange(NBLK, dtype=jnp.int32), mode="drop",
-             indices_are_sorted=True)
-    )
-    grab = jnp.minimum(bidx_sel, NBLK - 1)
-
-    def gather_blocks(arr2d):  # [L, Sp] -> [PATCH_BLOCKS, BLKC]
-        return arr2d.reshape(NBLK, BLKC)[grab]
-
-    g_flag = gather_blocks(is_patch) & (bidx_sel < NBLK)[:, None]
-    g_s = gather_blocks(abs_start).reshape(-1)
-    g_clen = gather_blocks(clen_p).reshape(-1)
-    g_q = gather_blocks(qp).reshape(-1)
-    g_u = gather_blocks(up).reshape(-1)
-    gf = g_flag.reshape(-1)
-
     n_patch = jnp.sum(patch_b, dtype=jnp.int32)
-    crank = jnp.cumsum(gf.astype(jnp.int32)) - 1
-    cdest = jnp.where(gf, crank, PATCH_CAP)
-    put = lambda src: (
-        jnp.zeros((PATCH_CAP,), src.dtype)
-        .at[cdest]
-        .set(src, mode="drop", indices_are_sorted=True)
+
+    def _compact(args):
+        # The block-rank scatter (NBLK indices) + PATCH_CAP compaction is
+        # ~5-7 ms at the bench geometry; lax.cond skips it entirely on the
+        # (common) patch-free batch.
+        blk_has, patch_b, s_b, clen_b, q_b, u_b = args
+        brank = jnp.cumsum(blk_has.astype(jnp.int32)) - 1
+        bdest = jnp.where(blk_has, brank, PATCH_BLOCKS)
+        bidx_sel = (
+            jnp.full((PATCH_BLOCKS,), NBLK, jnp.int32)
+            .at[bdest]
+            .set(jnp.arange(NBLK, dtype=jnp.int32), mode="drop",
+                 indices_are_sorted=True)
+        )
+        grab = jnp.minimum(bidx_sel, NBLK - 1)
+        g_flag = patch_b[grab] & (bidx_sel < NBLK)[:, None]
+        gf = g_flag.reshape(-1)
+        crank = jnp.cumsum(gf.astype(jnp.int32)) - 1
+        cdest = jnp.where(gf, crank, PATCH_CAP)
+        put = lambda src: (
+            jnp.zeros((PATCH_CAP,), src.dtype)
+            .at[cdest]
+            .set(src[grab].reshape(-1), mode="drop", indices_are_sorted=True)
+        )
+        return put(s_b), put(clen_b), put(q_b), put(u_b)
+
+    def _nopatch(args):
+        return (
+            jnp.zeros((PATCH_CAP,), jnp.int32),
+            jnp.zeros((PATCH_CAP,), jnp.int32),
+            jnp.zeros((PATCH_CAP,), jnp.int32),
+            jnp.zeros((PATCH_CAP,), jnp.uint32),
+        )
+
+    p_s, p_clen, p_q, p_u = jax.lax.cond(
+        n_patch > 0,
+        _compact,
+        _nopatch,
+        (
+            blk_has,
+            patch_b,
+            abs_start.reshape(NBLK, BLKC),
+            clen_p.reshape(NBLK, BLKC),
+            qp.reshape(NBLK, BLKC),
+            up.reshape(NBLK, BLKC),
+        ),
     )
-    p_s = put(g_s)
-    p_clen = put(g_clen)
-    p_q = put(g_q)
-    p_u = put(g_u)
     live_c = jnp.arange(PATCH_CAP, dtype=jnp.int32) < jnp.minimum(n_patch, PATCH_CAP)
 
-    bad = jnp.any(is_patch.reshape(L, Sp), axis=1) & (
-        (n_patch > PATCH_CAP) | (n_pblk > PATCH_BLOCKS)
-    )
+    bad = (
+        jnp.any(is_patch.reshape(L, Sp), axis=1)
+        & ((n_patch > PATCH_CAP) | (n_pblk > PATCH_BLOCKS))
+    ) | lane_cov_bad
 
     stage = {
-        "rows": rows,
-        "W0_pos": W0_pos,
-        "db": db,
-        "dw": dw,
+        "sup": sup,
+        "S0x": S0x,
+        "advx": advx,
+        "nxtx": nxtx,
+        "own_t": own_t,
+        "own_ds": own_ds,
         "p_s": p_s,
         "p_clen": p_clen,
         "p_q": p_q,
         "p_u": p_u,
         "p_live": live_c,
     }
+    if _DEBUG_STAGE_EXTRAS:
+        stage = dict(stage, rows=rows, adv=adv)
     return stage, lane_bytes.astype(jnp.int32), lane_off.astype(jnp.int32), bad
 
 
+#: Trace-time flag for profiling tools (tools/stage1_decompose.py): adds
+#: the pre-merge block rows to the stage dict so DCE variants can time the
+#: spread separately from the merge. Never set in production.
+_DEBUG_STAGE_EXTRAS = False
+
+
 @partial(jax.jit, static_argnames=("NW",))
-def pack_stage2(rows, W0_pos, db, dw, p_s, p_clen, p_q, p_u, p_live, NW: int):
-    """Assemble the word stream at a bucketed size (static NW words).
+def pack_stage2(sup, S0x, advx, nxtx, own_t, own_ds,
+                p_s, p_clen, p_q, p_u, p_live, NW: int,
+                rows=None, adv=None):
+    """Assemble the word stream at a bucketed size (static NW words,
+    multiple of TILE).
 
     Returns words u32 [NW] already byte-swapped to host little-endian
     layout: ``np.asarray(words).view(np.uint8)`` IS the MSB-first byte
     stream (fetch_words_finish is a zero-copy view).
     """
-    NBLK = rows.shape[0]
-    pos = jnp.minimum(W0_pos, NW)  # run-off tail -> dropped
-    # (A fused [NW, 2] two-column seed scatter was measured SLOWER —
-    # 49.7 vs 40.9 ms — the minor dim 2 wastes 126/128 vreg lanes.)
-    seedB = jnp.zeros((NW,), jnp.int32).at[pos].add(db, mode="drop", indices_are_sorted=True)
-    seedW = jnp.zeros((NW,), jnp.int32).at[pos].add(dw, mode="drop", indices_are_sorted=True)
-    B1 = jnp.cumsum(seedB)
-    W0e = jnp.cumsum(seedW)
+    assert NW % TILE == 0
+    NSB = sup.shape[0]
+    NT = NW // TILE
+    sup6 = sup.reshape(NSB * _SUP_UNITS, TILE)
 
-    w = jnp.arange(NW, dtype=jnp.int32)
-    j = w - W0e
-    flat = jnp.clip(B1 * ROWW + jnp.clip(j, 0, ROWW - 1), 0, NBLK * ROWW - 1)
-    words = jnp.where((j >= 0) & (j < ROWW), rows.reshape(-1)[flat], jnp.uint32(0))
+    # Owner superblock per tile: cumsum of the stage-1 delta scatter.
+    seed = (
+        jnp.zeros((NT + 1,), jnp.int32)
+        .at[jnp.clip(own_t, 0, NT)]
+        .add(own_ds, mode="drop", indices_are_sorted=True)
+    )
+    owner = jnp.cumsum(seed)[:NT] - 1  # [-1 .. NSB-1]
+
+    u0 = jnp.arange(NT, dtype=jnp.int32) * TILE
+    jj = jnp.arange(TILE, dtype=jnp.int32)
+    acc = jnp.zeros((NT, TILE), jnp.uint32)
+    pos = owner  # candidate walker; -1 = "before the first superblock"
+    for r in range(RCAND):
+        s_cur = jnp.where(pos < 0, NSB, pos)  # NSB = sentinel row
+        S0r = jnp.take(S0x, s_cur)
+        advr = jnp.take(advx, s_cur)
+        o = u0 - S0r  # window start within the superrow
+        if r == 0:
+            # Owner window: o in [1, adv] <= 4096 -> two aligned units.
+            qo = jnp.clip(o, 0, SUPW - 1) >> 7
+            base = jnp.clip(s_cur, 0, NSB - 1) * _SUP_UNITS + qo
+            hi = NSB * _SUP_UNITS - 1
+            U0 = jnp.take(sup6, jnp.clip(base, 0, hi), axis=0)
+            U1 = jnp.take(sup6, jnp.clip(base + 1, 0, hi), axis=0)
+            x = jnp.concatenate([U0, U1], axis=1)  # [NT, 2*TILE]
+            sh = jnp.clip(o, 0, SUPW - 1) & (TILE - 1)
+            for bit in range(7):
+                sv = 1 << bit
+                x = jnp.where(
+                    ((sh & sv) != 0)[:, None],
+                    jnp.pad(x, ((0, 0), (0, sv)))[:, sv:],
+                    x,
+                )
+            win = x[:, :TILE]
+        else:
+            # In-tile starters: o in (-TILE, 0] -> unit 0, shifted right.
+            base = jnp.clip(s_cur, 0, NSB - 1) * _SUP_UNITS
+            x = jnp.take(sup6, base, axis=0)
+            p = jnp.clip(-o, 0, TILE - 1)
+            for bit in range(7):
+                sv = 1 << bit
+                x = jnp.where(
+                    ((p & sv) != 0)[:, None],
+                    jnp.pad(x, ((0, 0), (sv, 0)))[:, :TILE],
+                    x,
+                )
+            win = x
+        srcw = o[:, None] + jj[None, :]
+        m = (srcw >= 0) & (srcw <= advr[:, None])
+        acc = acc | jnp.where(m, win, jnp.uint32(0))
+        if r + 1 < RCAND:
+            pos = jnp.take(nxtx, pos + 1)
+
+    words = acc.reshape(NW)
 
     # Patch pass: write each flagged code's full bit pattern additively
     # (its words are untouched by the spread, neighbours' bits disjoint).

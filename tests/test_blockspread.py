@@ -52,23 +52,52 @@ class TestBlockSpread:
         _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
 
     def test_long_codes_and_spikes(self):
-        """Transients produce >32-bit codes (quotient cap 255) -> patch pass."""
+        """Transients produce >32-bit codes (quotient cap 255) -> patch pass.
+
+        k is production-estimated (ops/select computes exact best-k), so the
+        spikes are isolated patches and every lane stays on the fast path."""
         rng = np.random.default_rng(1)
         L, S = 4, 700
         residuals = rng.integers(-30, 30, (L, S)).astype(np.int32)
-        # A few enormous spikes at k=0-ish: codes up to 256+k bits.
+        # A few enormous spikes: codes up to 256+k bits.
         for l in range(L):
             pos = rng.integers(0, S, 5)
             residuals[l, pos] = rng.integers(1 << 12, 1 << 20, 5)
-        k = np.array([1, 0, 3, 2], np.int32)
+        k = np.array(
+            [rice_host.estimate_parameter(residuals[l]) for l in range(L)], np.int32
+        )
         nvalid = np.full(L, S, np.int32)
         _check_lanes(residuals, k, nvalid, np.zeros(L, bool))
+
+    def test_pathological_k_flags_bad_and_contains(self):
+        """Grossly underestimated k makes most codes >32 bits: block advances
+        exceed the merge width budget, the affected lanes flag ``bad`` (the
+        caller re-packs them exactly on host, as lossless/encoder does), and
+        sane lanes in the same batch remain byte-exact — garbage containment
+        across the shared superrows."""
+        rng = np.random.default_rng(11)
+        L, S = 4, 700
+        residuals = rng.integers(-500, 500, (L, S)).astype(np.int32)
+        k = np.array([5, 0, 6, 0], np.int32)  # lanes 1, 3: every code ~256 bits
+        nvalid = np.full(L, S, np.int32)
+        stream, lane_bytes, lane_off, bad = _pack(
+            residuals, k, nvalid, np.zeros(L, bool)
+        )
+        assert bad[1] and bad[3]
+        for l in range(L):
+            want = rice_host.encode(residuals[l, : nvalid[l]], int(k[l]))
+            assert len(want) == lane_bytes[l]
+            if not bad[l]:
+                got = bytes(stream[lane_off[l] : lane_off[l] + lane_bytes[l]])
+                assert got == want, f"lane {l}"
 
     def test_raw_lanes_and_mixed(self):
         rng = np.random.default_rng(2)
         L, S = 5, 513
         residuals = rng.integers(-32768, 32768, (L, S)).astype(np.int32)
-        k = np.array([2, 0, 5, 1, 3], np.int32)
+        k = np.array(
+            [rice_host.estimate_parameter(residuals[l]) for l in range(L)], np.int32
+        )
         is_raw = np.array([True, False, True, False, False])
         nvalid = np.array([513, 400, 64, 513, 1], np.int32)
         _check_lanes(residuals, k, nvalid, is_raw)
@@ -244,12 +273,16 @@ class TestBlockSpread:
         assert bad.all()
 
     def test_mixed_long_raw_partial(self):
-        """Mixed lane kinds in one batch (the legacy packer's hardest case)."""
+        """Mixed lane kinds in one batch (the legacy packer's hardest case).
+        Rice lanes use production-estimated k (lane 1 is raw, k ignored)."""
         rng = np.random.default_rng(5)
         L, S = 4, 450
         residuals = rng.integers(-500, 500, (L, S)).astype(np.int32)
         residuals[2, 17] = 1 << 18  # one long code
-        k = np.array([3, 0, 4, 2], np.int32)
+        k = np.array(
+            [rice_host.estimate_parameter(residuals[l]) for l in range(L)], np.int32
+        )
+        k[1] = 0
         nvalid = np.array([450, 450, 450, 449], np.int32)
         is_raw = np.array([False, True, False, False])
         _check_lanes(residuals, k, nvalid, is_raw)

@@ -52,8 +52,10 @@ def main():
         stage, lane_bytes_d, lane_off_d = out[3], out[4], out[5]
         t0 = time.time()
         lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
+        tb = time.time() - t0
         lane_off = np.asarray(lane_off_d).astype(np.int64)
         t_sizes = time.time() - t0
+        print(f"    [sizes: bytes={tb*1e3:6.1f} off={(t_sizes-tb)*1e3:6.1f} ms]")
         total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
         NW = blockspread.bucket_words(total // 4)
         t0 = time.time()

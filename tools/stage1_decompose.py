@@ -2,9 +2,13 @@
 """Decompose pack_stage1's device time via dead-code-elimination variants.
 
 Requesting only a subset of stage-1 outputs lets XLA DCE the rest:
-  sizes_only   clen/pattern + cumsums + lane sizes   (no spread, no patch)
-  rows_only    + block spread + straddle move        (no patch compaction)
-  full         everything (incl. the patch nonzero)
+  sizes_only   clen/pattern + cumsums + lane sizes    (no spread, no merge)
+  rows_only    + dense block spread                   (_DEBUG_STAGE_EXTRAS)
+  sup_only     + hierarchical barrel merge            (no patch compaction)
+  full         everything (incl. patch compaction + bad-lane marking)
+
+Timing: enqueue reps back-to-back, force only the last (one download RTT
+bounds the queue; a per-rep force adds a ~25 ms tunnel RTT floor).
 """
 
 import pathlib
@@ -28,6 +32,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from flo_tpu.ops import blockspread as bs
 
+    bs._DEBUG_STAGE_EXTRAS = True
+
     dev = jax.devices()[0]
     print("device:", dev, flush=True)
 
@@ -43,13 +49,15 @@ def main():
     def _force(out):
         return np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
 
-    def timeit(name, fn, reps=5):
+    def timeit(name, fn, reps=10):
         t0 = time.time()
         _force(fn())
         print(f"{name:12s} compile+run {time.time()-t0:7.1f} s", flush=True)
+        outs = []
         t0 = time.time()
         for _ in range(reps):
-            _force(fn())
+            outs.append(fn())
+        _force(outs[-1])
         print(f"{name:12s} hot {(time.time()-t0)/reps*1e3:8.1f} ms", flush=True)
 
     @jax.jit
@@ -60,7 +68,12 @@ def main():
     @jax.jit
     def rows_only(r, kk, nv, raw):
         stage, lane_bytes, _, _ = bs.pack_stage1(r, kk, nv, raw)
-        return stage["rows"], stage["W0_pos"], stage["db"], stage["dw"], lane_bytes
+        return stage["rows"], stage["adv"], lane_bytes
+
+    @jax.jit
+    def sup_only(r, kk, nv, raw):
+        stage, lane_bytes, _, _ = bs.pack_stage1(r, kk, nv, raw)
+        return stage["sup"], stage["S0x"], lane_bytes
 
     @jax.jit
     def full(r, kk, nv, raw):
@@ -68,6 +81,7 @@ def main():
 
     timeit("sizes_only", lambda: sizes_only(r_d, k_d, nv_d, raw_d))
     timeit("rows_only", lambda: rows_only(r_d, k_d, nv_d, raw_d))
+    timeit("sup_only", lambda: sup_only(r_d, k_d, nv_d, raw_d))
     timeit("full", lambda: full(r_d, k_d, nv_d, raw_d))
 
 
