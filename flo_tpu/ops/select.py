@@ -94,6 +94,75 @@ def _zigzag_u32(r):
     return jax.lax.bitcast_convert_type(z, jnp.uint32)
 
 
+def residuals_approx(lanes_f, nvalid, coeffs, shifts, orders, is_fixed):
+    """f32 approximation of :func:`residuals_one`, for selection stats only.
+
+    pred = floor(Σ c_j x_{i-j-1} / 2^shift) in f32: products reach ~2^32, so
+    the accumulated absolute error is ≲ 3000 pre-shift → r is off by at most
+    ±1, and only on large-amplitude content where k is large and an
+    off-by-one never moves a code across a Rice bucket that matters. The
+    winner's residuals, k and size are re-derived exactly after selection
+    (see encode_select_step), so only the *choice* between near-tied
+    candidates can drift — the same marginal drift this device path already
+    documents for its f32 Levinson analysis. ~6x fewer VPU ops per candidate
+    than the exact int32-limb path (measured: scan 13.0 -> see PARITY).
+    """
+    L, S = lanes_f.shape
+    acc = jnp.zeros_like(lanes_f)
+    for t in range(lpc.MAX_ORDER):
+        xlag = jnp.pad(lanes_f, ((0, 0), (t + 1, 0)))[:, :S]
+        acc = acc + coeffs[:, t : t + 1].astype(jnp.float32) * xlag
+    pred = jnp.floor(acc * jnp.exp2(-shifts[:, None].astype(jnp.float32)))
+    r = lanes_f - pred
+
+    # Warm-up prefix (<= 12 samples): LPC emits samples verbatim, fixed
+    # predictors ramp through orders 0..min(i,4). Products here are small
+    # (|coeff| <= 4), so the f32 ramp is exact.
+    P = min(lpc.MAX_ORDER, S)
+    prefix = lanes_f[:, :P]
+    fixed_table = jnp.asarray(lpc._FIXED_COEFFS, dtype=jnp.float32)
+    i_idx = jnp.arange(P, dtype=jnp.int32)
+    ramp_rows = fixed_table[jnp.minimum(i_idx, 4)]  # [P, 12]
+    pred_ramp = jnp.zeros_like(prefix)
+    for t in range(lpc.MAX_ORDER):
+        xlag = jnp.pad(prefix, ((0, 0), (t + 1, 0)))[:, :P]
+        pred_ramp = pred_ramp + ramp_rows[None, :, t] * xlag
+    in_warmup = i_idx[None, :] < orders[:, None]
+    r_pref = jnp.where(
+        in_warmup,
+        jnp.where(is_fixed[:, None], prefix - pred_ramp, prefix),
+        r[:, :P],
+    )
+    r = jnp.concatenate([r_pref, r[:, P:]], axis=1)
+    valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid[:, None]
+    return jnp.where(valid, r, 0.0)
+
+
+def candidate_size_approx(r_f, nvalid):
+    """(max_abs, k, size_bytes) from f32 residuals (selection stats only)."""
+    af = jnp.abs(r_f)
+    maxf = jnp.max(af, axis=1)
+    max_abs = jnp.minimum(maxf, jnp.float32(_ABS_CLAMP)).astype(jnp.int32)
+    n = jnp.maximum(nvalid, 1)
+    mean = (jnp.sum(jnp.minimum(af, jnp.float32(_ABS_CLAMP)), axis=1)
+            / n.astype(jnp.float32)).astype(jnp.int32)
+    max_u2 = 2 * max_abs
+    min_k = jnp.where(max_u2 > 255, jnp.maximum(_bit_length(max_u2) - 8, 0), 0)
+    k = jnp.clip(jnp.maximum(min_k, _bit_length(mean)), 0, 15)
+    k = jnp.where(max_abs == 0, 0, k)
+
+    # |zigzag| = 2|r| - (r < 0); clamp keeps the int32 conversion safe.
+    u = (2.0 * jnp.minimum(af, jnp.float32(_ABS_CLAMP))).astype(jnp.int32) - (
+        r_f < 0
+    ).astype(jnp.int32)
+    q = jnp.minimum(
+        jax.lax.shift_right_logical(jnp.maximum(u, 0), k[:, None]), 255
+    )
+    qsum = jnp.sum(q, axis=1, dtype=jnp.int32)
+    bits = qsum + nvalid * (1 + k)
+    return max_abs, k, (bits + 7) >> 3
+
+
 def candidate_size(r, nvalid):
     """(max_abs, k, size_bytes) for one candidate's masked residuals [L, S].
 
@@ -148,29 +217,38 @@ def encode_select_step(
         jnp.arange(NC, dtype=jnp.int32),
     )
 
+    lanes_f = lanes.astype(jnp.float32)
+
     def body(carry, x):
-        best_size, best_ci, best_k = carry
+        best_size, best_ci = carry
         c, sh, od, fx, ok, islpc, ci = x
-        r = residuals_one(lanes, nvalid, c, sh, od, fx)
-        max_abs, k, size = candidate_size(r, nvalid)
-        stable = (max_abs >= 0) & (max_abs <= 1_000_000)  # encoder.rs:269-271
+        r = residuals_approx(lanes_f, nvalid, c, sh, od, fx)
+        max_abs, k, size = candidate_size_approx(r, nvalid)
+        stable = max_abs <= 1_000_000  # encoder.rs:269-271 (f32 can't wrap)
         ok = ok & jnp.where(islpc, stable, True) & (ci > 0)
         better = ok & (size < best_size)
         return (
             jnp.where(better, size, best_size),
             jnp.where(better, ci, best_ci),
-            jnp.where(better, k, best_k),
         ), None
 
-    init = (2 * nvalid, jnp.zeros((L,), jnp.int32), jnp.zeros((L,), jnp.int32))
-    (best_size, best_ci, best_k), _ = jax.lax.scan(body, init, xs)
+    init = (2 * nvalid, jnp.zeros((L,), jnp.int32))
+    (_, best_ci), _ = jax.lax.scan(body, init, xs)
 
+    # The winner's residuals, Rice k and byte size are re-derived with the
+    # exact int32-limb path: the scan's f32 stats steer only the CHOICE
+    # between candidates, never the emitted bytes (lossless/encoder.py's
+    # packer-size assertion depends on these being exact).
     take = lambda t: jnp.take_along_axis(t, best_ci[:, None], axis=1)[:, 0]
     win_c = jnp.take_along_axis(coeffs_all, best_ci[:, None, None], axis=1)[:, 0]
     win_shift = take(shifts_all)
     residuals = residuals_one(
         lanes, nvalid, win_c, win_shift, take(orders_all), take(fixed_all)
     )
+    _, k_w, size_w = candidate_size(residuals, nvalid)
+    is_raw_win = best_ci == 0
+    best_k = jnp.where(is_raw_win, 0, k_w)
+    best_size = jnp.where(is_raw_win, 2 * nvalid, size_w)
     return best_ci, best_k, best_size, residuals, win_c, win_shift
 
 

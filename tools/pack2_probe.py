@@ -1,19 +1,14 @@
 #!/usr/bin/env python
-"""DCE-decompose blockspread.pack_stage2 at the bench geometry and
-microbench candidate replacements for its O(payload-words) flat gather.
+"""DCE-decompose the v3 blockspread.pack_stage2 at the bench geometry.
 
-Stages timed (each as its own jit, on resident inputs):
-  seeds     the two [NW] delta scatters (NBLK indices) + cumsums
-  gather    the per-word flat expand rows_flat[B1*34+j] (the suspect)
+Stages timed (each as its own jit on resident stage-1 outputs, enqueue-N
+force-last timing — see tools/select_decompose.py):
+  owner     tile->owner superblock delta scatter + cumsum (NT domain)
+  r0        owner window: 2 aligned 128-word unit gathers + 7-step barrel
+  rN        one in-tile starter candidate: 1 unit gather + barrel + mask
   patch     the compacted >32-bit-code patch pass
   swap      the final byteswap
-  full      pack_stage2 as shipped
-
-Primitives (same payload volume):
-  g_word    flat monotone word gather, NW indices
-  g_pair    [NW/2, 2]-row gather, NW/2 indices
-  g_quad    [NW/4, 4]-row gather, NW/4 indices
-  g_unit    [NW/8, 8]-row gather, NW/8 indices
+  full      pack_stage2 as shipped (RCAND candidates)
 """
 import pathlib
 import sys
@@ -37,7 +32,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from flo_tpu.ops.select import encode_select_device
-    from flo_tpu.ops import blockspread
+    from flo_tpu.ops import blockspread as bs
 
     rng = np.random.default_rng(0)
     t = np.arange(F * S) / 44100
@@ -57,152 +52,84 @@ def main():
     lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
     lane_off = np.asarray(lane_off_d).astype(np.int64)
     total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
-    NW = blockspread.bucket_words(total // 4)
-    stage = {k: jax.device_put(v) for k, v in stage.items()}
-    NBLK = stage["rows"].shape[0]
-    print(f"NW={NW} ({NW*4/1e6:.1f} MB) NBLK={NBLK}")
+    NW = bs.bucket_words(total // 4)
+    stage = {k: jax.device_put(np.asarray(v)) for k, v in stage.items()}
+    NSB = stage["sup"].shape[0]
+    NT = NW // bs.TILE
+    print(f"NW={NW} ({NW*4/1e6:.1f} MB) NSB={NSB} NT={NT}")
 
-    def tm(fn, *args, reps=10):
-        o = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+    def _force(o):
+        return np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+
+    def tm(name, fn, *args, reps=10):
+        _force(fn(*args))
+        outs = []
         t0 = time.time()
-        outs = [fn(*args) for _ in range(reps)]
-        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[:1])
-        for o in outs[:-1]:
-            jax.tree_util.tree_leaves(o)[0].block_until_ready()
-        return (time.time() - t0) / reps
+        for _ in range(reps):
+            outs.append(fn(*args))
+        _force(outs[-1])
+        print(f"{name:7s} {(time.time()-t0)/reps*1e3:7.1f} ms", flush=True)
 
-    ROWW = blockspread.ROWW
-    PATCH_WORDS = blockspread.PATCH_WORDS
+    TILE, SUPW, UN = bs.TILE, bs.SUPW, bs._SUP_UNITS
 
     @jax.jit
-    def seeds(rows, W0_pos, db, dw):
-        pos = jnp.minimum(W0_pos, NW)
-        seedB = jnp.zeros((NW,), jnp.int32).at[pos].add(db, mode="drop", indices_are_sorted=True)
-        seedW = jnp.zeros((NW,), jnp.int32).at[pos].add(dw, mode="drop", indices_are_sorted=True)
-        return jnp.cumsum(seedB), jnp.cumsum(seedW)
-
-    B1, W0e = seeds(stage["rows"], stage["W0_pos"], stage["db"], stage["dw"])
-    B1 = jax.device_put(np.asarray(B1))
-    W0e = jax.device_put(np.asarray(W0e))
-
-    @jax.jit
-    def gather(rows, B1, W0e):
-        w = jnp.arange(NW, dtype=jnp.int32)
-        j = w - W0e
-        flat = jnp.clip(B1 * ROWW + jnp.clip(j, 0, ROWW - 1), 0, NBLK * ROWW - 1)
-        return jnp.where((j >= 0) & (j < ROWW), rows.reshape(-1)[flat], jnp.uint32(0))
-
-    words = gather(stage["rows"], B1, W0e)
-    words = jax.device_put(np.asarray(words))
-
-    @jax.jit
-    def patch(words, p_s, p_clen, p_q, p_u, p_live):
-        first_word = p_s >> 5
-
-        def code_word(t):
-            base = (first_word + t) << 5
-            acc = jnp.zeros_like(p_s)
-            for s2 in range(32):
-                o = base + s2 - p_s
-                in_code = (o >= 0) & (o < p_clen)
-                is_one = o < p_q
-                rem_sh = jnp.clip(p_clen - 1 - o, 0, 31).astype(jnp.uint32)
-                rem_bit = ((p_u >> rem_sh) & 1).astype(jnp.int32)
-                bit = jnp.where(is_one, 1, jnp.where(o == p_q, 0, rem_bit))
-                acc = acc + jnp.where(in_code, bit << (31 - s2), 0)
-            return acc
-
-        contribs = jnp.stack([code_word(t) for t in range(PATCH_WORDS)])
-        tgts = jnp.where(
-            p_live[None, :] & (contribs != 0),
-            first_word[None, :] + jnp.arange(PATCH_WORDS, dtype=p_s.dtype)[:, None],
-            NW,
+    def owner_of(own_t, own_ds):
+        seed = (
+            jnp.zeros((NT + 1,), jnp.int32)
+            .at[jnp.clip(own_t, 0, NT)]
+            .add(own_ds, mode="drop", indices_are_sorted=True)
         )
-        return jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(words, jnp.int32)
-            .at[tgts.reshape(-1)]
-            .add(contribs.reshape(-1), mode="drop"),
-            jnp.uint32,
-        )
+        return jnp.cumsum(seed)[:NT] - 1
+
+    owner = jax.device_put(np.asarray(owner_of(stage["own_t"], stage["own_ds"])))
 
     @jax.jit
-    def swap(words):
-        return ((words >> 24) | ((words >> 8) & jnp.uint32(0x0000FF00))
-                | ((words << 8) & jnp.uint32(0x00FF0000)) | (words << 24))
-
-    t_seed = tm(seeds, stage["rows"], stage["W0_pos"], stage["db"], stage["dw"])
-    t_gath = tm(gather, stage["rows"], B1, W0e)
-    t_pat = tm(patch, words, stage["p_s"], stage["p_clen"], stage["p_q"],
-               stage["p_u"], stage["p_live"])
-    t_swap = tm(swap, words)
-    t_full = tm(lambda: blockspread.pack_stage2(NW=NW, **stage))
-    print(f"seeds  {t_seed*1e3:7.1f} ms")
-    print(f"gather {t_gath*1e3:7.1f} ms")
-    print(f"patch  {t_pat*1e3:7.1f} ms")
-    print(f"swap   {t_swap*1e3:7.1f} ms")
-    print(f"full   {t_full*1e3:7.1f} ms")
-
-    # --- gather granularity primitives, same output volume ---
-    src = jax.device_put(rng.integers(0, 1 << 32, (NBLK * ROWW,), np.uint64).astype(np.uint32))
-    for gran in (1, 2, 4, 8):
-        n = NW // gran
-        idx = jax.device_put(np.sort(rng.integers(0, NBLK * ROWW // gran - 1, n)).astype(np.int32))
-
-        @jax.jit
-        def g(src, idx, gran=gran, n=n):
-            return jnp.take(src.reshape(-1, gran), idx, axis=0)
-
-        print(f"g_x{gran}   {tm(g, src, idx)*1e3:7.1f} ms  ({n} indices)")
-
-
-def scatter_bench():
-    import jax
-    import jax.numpy as jnp
-
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"),
-    )
-    rng = np.random.default_rng(1)
-    NBLK, NU = 330960, 524288
-    rows = jax.device_put(
-        rng.integers(0, 1 << 32, (NBLK, 6, 8), np.uint64).astype(np.uint32))
-    uw0 = jax.device_put(np.sort(rng.integers(0, NU - 8, NBLK)).astype(np.int32))
-
-    def tm(fn, *args, reps=10):
-        o = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
-        t0 = time.time()
-        outs = [fn(*args) for _ in range(reps)]
-        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[:1])
-        return (time.time() - t0) / reps
+    def r0(sup, S0x, advx, owner):
+        sup6 = sup.reshape(NSB * UN, TILE)
+        u0 = jnp.arange(NT, dtype=jnp.int32) * TILE
+        jj = jnp.arange(TILE, dtype=jnp.int32)
+        s_cur = jnp.where(owner < 0, NSB, owner)
+        S0r = jnp.take(S0x, s_cur)
+        advr = jnp.take(advx, s_cur)
+        o = u0 - S0r
+        qo = jnp.clip(o, 0, SUPW - 1) >> 7
+        base = jnp.clip(s_cur, 0, NSB - 1) * UN + qo
+        hi = NSB * UN - 1
+        U0 = jnp.take(sup6, jnp.clip(base, 0, hi), axis=0)
+        U1 = jnp.take(sup6, jnp.clip(base + 1, 0, hi), axis=0)
+        x = jnp.concatenate([U0, U1], axis=1)
+        sh = jnp.clip(o, 0, SUPW - 1) & (TILE - 1)
+        for bit in range(7):
+            sv = 1 << bit
+            x = jnp.where(((sh & sv) != 0)[:, None], jnp.pad(x, ((0, 0), (0, sv)))[:, sv:], x)
+        win = x[:, :TILE]
+        srcw = o[:, None] + jj[None, :]
+        return jnp.where((srcw >= 0) & (srcw <= advr[:, None]), win, jnp.uint32(0))
 
     @jax.jit
-    def six_rounds(rows, uw0):
-        units = jnp.zeros((NU, 8), jnp.uint32)
-        for r in range(6):
-            units = units.at[uw0 + r].add(
-                rows[:, r, :], mode="drop", indices_are_sorted=True)
-        return units
+    def rN(sup, S0x, advx, nxtx, owner):
+        sup6 = sup.reshape(NSB * UN, TILE)
+        u0 = jnp.arange(NT, dtype=jnp.int32) * TILE
+        jj = jnp.arange(TILE, dtype=jnp.int32)
+        pos = jnp.take(nxtx, owner + 1)
+        s_cur = jnp.where(pos < 0, NSB, pos)
+        S0r = jnp.take(S0x, s_cur)
+        advr = jnp.take(advx, s_cur)
+        o = u0 - S0r
+        base = jnp.clip(s_cur, 0, NSB - 1) * UN
+        x = jnp.take(sup6, base, axis=0)
+        p = jnp.clip(-o, 0, TILE - 1)
+        for bit in range(7):
+            sv = 1 << bit
+            x = jnp.where(((p & sv) != 0)[:, None], jnp.pad(x, ((0, 0), (sv, 0)))[:, :TILE], x)
+        srcw = o[:, None] + jj[None, :]
+        return jnp.where((srcw >= 0) & (srcw <= advr[:, None]), x, jnp.uint32(0))
 
-    @jax.jit
-    def one_round(rows, uw0):
-        return jnp.zeros((NU, 8), jnp.uint32).at[uw0].add(
-            rows[:, 0, :], mode="drop", indices_are_sorted=True)
-
-    @jax.jit
-    def fused(rows, uw0):
-        idx = (uw0[:, None] + jnp.arange(6, dtype=jnp.int32)[None, :]).reshape(-1)
-        return jnp.zeros((NU, 8), jnp.uint32).at[idx].add(
-            rows.reshape(-1, 8), mode="drop")
-    print(f"scatter6  {tm(six_rounds, rows, uw0)*1e3:7.1f} ms")
-    print(f"scatter1  {tm(one_round, rows, uw0)*1e3:7.1f} ms")
-    print(f"scatterF  {tm(fused, rows, uw0)*1e3:7.1f} ms")
+    tm("owner", owner_of, stage["own_t"], stage["own_ds"])
+    tm("r0", r0, stage["sup"], stage["S0x"], stage["advx"], owner)
+    tm("rN", rN, stage["sup"], stage["S0x"], stage["advx"], stage["nxtx"], owner)
+    tm("full", lambda: bs.pack_stage2(NW=NW, **stage))
 
 
 if __name__ == "__main__":
-    if "scatter" in sys.argv[1:]:
-        scatter_bench()
-    else:
-        main()
+    main()
