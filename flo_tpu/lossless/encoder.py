@@ -422,25 +422,20 @@ def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
 
 
 def _start_chunk_fetch(st) -> None:
-    """Collect phase 1: download the tiny lane sizes, dispatch the stage-2
-    word assembly at the entropy-sized bucket (ops/blockspread — the sizes
-    are not known at stage-1 dispatch time), and async-start the payload
-    prefix download. Idempotent."""
+    """Collect phase 1: download the tiny lane sizes (prefetched at dispatch
+    — the pack itself already ran fused in the dispatch program at the
+    worst-case bucket, so nothing waits on these sizes but the payload
+    fetch length) and async-start the payload prefix download. Idempotent."""
     from ..ops import blockspread
 
     if "prefetch" in st:
         return
-    (_, _, _, stage, lane_bytes_d, lane_off_d, *_rest) = st["device_out"]
+    (_, _, _, words, lane_bytes_d, lane_off_d, *_rest) = st["device_out"]
     lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
     lane_off = np.asarray(lane_off_d).astype(np.int64)
     # Word-aligned payload span (the last lane's region rounds up to words).
     total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4) if st["L"] else 0
-    if total:
-        NW = blockspread.bucket_words(total // 4)
-        words = blockspread.pack_stage2(NW=NW, **stage)
-        h = blockspread.fetch_words_start(words, total)
-    else:
-        h = None
+    h = blockspread.fetch_words_start(words, total) if total else None
     st["prefetch"] = (h, total, lane_bytes, lane_off)
 
 
@@ -457,7 +452,7 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
     visible in Examples/white_noise.flo). The default "fixed" types Raw only
     when every channel actually chose the raw-PCM strategy."""
     (
-        sel_d, k_d, size_d, _stage, lane_bytes_d, lane_off_d, bad_d,
+        sel_d, k_d, size_d, _words, lane_bytes_d, lane_off_d, bad_d,
         res_dev, winc_d, wins_d,
     ) = st["device_out"]
     frame_samples = st["frame_samples"]

@@ -514,6 +514,23 @@ def pack_stage2(sup, S0x, advx, nxtx, own_t, own_ds,
     )
 
 
+def pack_worst_words(L: int, S: int) -> int:
+    """Static word-count bound for a [L, S] batch, for fusing pack_stage2
+    into the dispatch program (no mid-pass size download): every winner's
+    payload is <= the raw baseline (16 bits/sample — ops/select demotes
+    winners whose exact size is not strictly below raw), and lane payloads
+    word-align independently. Rounded up to a TILE multiple.
+
+    Sizing stage 2 at this bound costs ~1.7 ns/word of slack (v3 assembly),
+    a few ms at the bench geometry — while downloading the exact sizes
+    between stages stalls the device stream ~15 ms per pass through the
+    tunnel (every device->host read does; measured in tools/dk_probe.py's
+    zero-read A/B). Worst case always wins.
+    """
+    n = L * ((16 * S + 31) >> 5)
+    return -(-max(n, 1) // TILE) * TILE
+
+
 def bucket_words(n: int, floor: int = 1 << 16) -> int:
     """{1, 1.5} x 2^k growth bucket for the stage-2 word count."""
     b = floor

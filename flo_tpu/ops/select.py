@@ -238,7 +238,12 @@ def encode_select_step(
     # The winner's residuals, Rice k and byte size are re-derived with the
     # exact int32-limb path: the scan's f32 stats steer only the CHOICE
     # between candidates, never the emitted bytes (lossless/encoder.py's
-    # packer-size assertion depends on these being exact).
+    # packer-size assertion depends on these being exact). A winner whose
+    # EXACT size is not strictly below the raw baseline is demoted to raw
+    # (the reference's strict-< keeps raw on ties) — this both removes the
+    # one way f32 drift could worsen a lane beyond raw and restores the
+    # hard <=16-bits/sample bound that sizes the fused pack's static word
+    # bucket (pack_worst_words).
     take = lambda t: jnp.take_along_axis(t, best_ci[:, None], axis=1)[:, 0]
     win_c = jnp.take_along_axis(coeffs_all, best_ci[:, None, None], axis=1)[:, 0]
     win_shift = take(shifts_all)
@@ -246,6 +251,12 @@ def encode_select_step(
         lanes, nvalid, win_c, win_shift, take(orders_all), take(fixed_all)
     )
     _, k_w, size_w = candidate_size(residuals, nvalid)
+    demote = (best_ci != 0) & (size_w >= 2 * nvalid)
+    best_ci = jnp.where(demote, 0, best_ci)
+    win_c = jnp.where(demote[:, None], 0, win_c)
+    win_shift = jnp.where(demote, 0, win_shift)
+    valid = jnp.arange(lanes.shape[1], dtype=jnp.int32)[None, :] < nvalid[:, None]
+    residuals = jnp.where(demote[:, None], jnp.where(valid, lanes, 0), residuals)
     is_raw_win = best_ci == 0
     best_k = jnp.where(is_raw_win, 0, k_w)
     best_size = jnp.where(is_raw_win, 2 * nvalid, size_w)
@@ -270,19 +281,25 @@ def _transport_outputs(sel, k, size, residuals, win_c, win_shift, nvalid):
     downloads only the packed bytes + tiny per-lane tables — entropy-coded
     size instead of full i16 residual tensors (the round-1 wire bottleneck).
 
-    Two-phase: this (stage 1) runs the block-dense spread fused with the
-    search; the caller downloads the tiny lane sizes, then dispatches
-    blockspread.pack_stage2 at an entropy-sized word bucket (the round-2
-    packer's 16-bit/sample worst-case bit domain cost 425 ms of indexed ops
-    per [240, 44100] batch — see ops/blockspread.py).
+    SINGLE-phase: the whole pack (stage 1 spread+merge AND the stage 2 word
+    assembly at the static 16-bit/sample worst-case bucket) runs inside the
+    dispatch program. The earlier two-phase split (download exact sizes,
+    dispatch stage 2 at an entropy-sized bucket) was built for the v2
+    packer, whose per-word assembly made worst-case sizing cost ~10+ ms; the
+    v3 assembly costs ~1.7 ns/word of bucket slack, while the inter-stage
+    size download stalls the device stream ~15 ms per pass through the
+    tunnel (every device->host read does). The caller still downloads the
+    lane sizes — but only to size the payload fetch, off the device stream.
 
     The device-resident residual tensor rides along for the host's exact
     re-pack of `bad` lanes (patch-capacity overflow, blockspread.PATCH_CAP).
     """
-    from .blockspread import pack_stage1
+    from .blockspread import pack_stage1, pack_stage2, pack_worst_words
 
+    L, S = residuals.shape
     stage, lane_bytes, lane_off, bad = pack_stage1(residuals, k, nvalid, sel == 0)
-    return sel, k, size, stage, lane_bytes, lane_off, bad, residuals, win_c, win_shift
+    words = pack_stage2(NW=pack_worst_words(L, S), **stage)
+    return sel, k, size, words, lane_bytes, lane_off, bad, residuals, win_c, win_shift
 
 
 @partial(jax.jit, static_argnames=("is_lpc",))

@@ -1,6 +1,13 @@
 #!/usr/bin/env python
-"""Decompose the bench device_kernels steady state: dispatch enqueue cost,
-size-array residency wait, stage-2 enqueue cost, force cadence."""
+"""Decompose the bench device_kernels steady state (single-phase pack):
+dispatch enqueue cost, lane-size readback stall, force cadence.
+
+Since the worst-case-bucket fuse (ops/select._transport_outputs) the whole
+search + pack is ONE dispatch; the only per-pass reads left are the lane
+sizes (production needs them to size the payload fetch) and the execution
+barrier. Every device->host read stalls the device stream ~15 ms through
+the axon tunnel (zero-read vs one-read A/B), so the steady states with and
+without the size readback bracket the production chunk cadence."""
 import pathlib
 import sys
 import time
@@ -23,7 +30,6 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from flo_tpu.ops.select import encode_select_device
-    from flo_tpu.ops import blockspread
     from flo_tpu.futures import start_host_copy as _shc
 
     rng = np.random.default_rng(0)
@@ -48,49 +54,34 @@ def main():
         _shc(out[4], out[5])
         return out
 
-    def dk_finish(out):
-        stage, lane_bytes_d, lane_off_d = out[3], out[4], out[5]
-        t0 = time.time()
-        lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
-        tb = time.time() - t0
-        lane_off = np.asarray(lane_off_d).astype(np.int64)
-        t_sizes = time.time() - t0
-        print(f"    [sizes: bytes={tb*1e3:6.1f} off={(t_sizes-tb)*1e3:6.1f} ms]")
-        total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
-        NW = blockspread.bucket_words(total // 4)
-        t0 = time.time()
-        w = blockspread.pack_stage2(NW=NW, **stage)
-        t_enq2 = time.time() - t0
-        return w, t_sizes, t_enq2
+    _force(dk_dispatch()[3])  # compile
 
-    # compile
-    _force(dk_finish(dk_dispatch())[0])
-    # steady state, 3-deep
-    depth, reps = 3, 8
-    states = [dk_dispatch() for _ in range(depth)]
-    words = []
-    t_disp = t_sz = t_e2 = t_fc = 0.0
+    audio_sec = F * S / RATE
+    reps = 8
+
+    # A: pure kernel cadence (no per-pass reads, force last words).
     t0 = time.time()
-    for _ in range(reps):
-        ta = time.time()
-        states.append(dk_dispatch())
-        t_disp += time.time() - ta
-        w, a, b = dk_finish(states.pop(0))
-        t_sz += a
-        t_e2 += b
-        words.append(w)
-        if len(words) > depth:
-            ta = time.time()
-            _force(words.pop(0))
-            t_fc += time.time() - ta
-    for w in words:
-        _force(w)
+    outs = [dk_dispatch() for _ in range(reps)]
+    _force(outs[-1][3])
     dt = (time.time() - t0) / reps
-    print(f"steady {dt*1e3:7.1f} ms/pass -> {120/dt:7.0f}x realtime")
-    print(f"  dispatch-enqueue {t_disp/reps*1e3:7.1f} ms")
-    print(f"  size-wait        {t_sz/reps*1e3:7.1f} ms")
-    print(f"  stage2-enqueue   {t_e2/reps*1e3:7.1f} ms")
-    print(f"  force-wait       {t_fc/reps*1e3:7.1f} ms")
+    print(f"no-read   {dt*1e3:7.1f} ms/pass -> {audio_sec/dt:7.0f}x realtime")
+
+    # B: + per-pass size readback (the production fetch-sizing read).
+    t0 = time.time()
+    t_sz = 0.0
+    outs = []
+    for _ in range(reps):
+        outs.append(dk_dispatch())
+        if len(outs) > 3:
+            o = outs.pop(0)
+            ta = time.time()
+            np.asarray(o[4]); np.asarray(o[5])
+            t_sz += time.time() - ta
+    for o in outs:
+        np.asarray(o[4]); np.asarray(o[5])
+    dt = (time.time() - t0) / reps
+    print(f"with-size {dt*1e3:7.1f} ms/pass -> {audio_sec/dt:7.0f}x realtime"
+          f"   (size-read wait {t_sz/reps*1e3:5.1f} ms/pass)")
 
 
 if __name__ == "__main__":

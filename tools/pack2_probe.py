@@ -48,11 +48,14 @@ def main():
     orders = (0, 0, 1, 2, 3, 4, 5, 6, 7, 8)
 
     out = encode_select_device(pcm_dev, nv_dev, kinds, orders)
-    stage, lane_bytes_d, lane_off_d = out[3], out[4], out[5]
-    lane_bytes = np.asarray(lane_bytes_d).astype(np.int64)
-    lane_off = np.asarray(lane_off_d).astype(np.int64)
+    # out[3] is the fused worst-case-bucket words; rebuild the stage dict
+    # from the winner residuals to decompose stage 2 in isolation.
+    lane_bytes = np.asarray(out[4]).astype(np.int64)
+    lane_off = np.asarray(out[5]).astype(np.int64)
+    nv_lane = jax.device_put(np.full(F * C, S, np.int32))
+    stage, _, _, _ = jax.jit(bs.pack_stage1)(out[7], out[1], nv_lane, out[0] == 0)
     total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4)
-    NW = bs.bucket_words(total // 4)
+    NW = bs.pack_worst_words(F * C, S)
     stage = {k: jax.device_put(np.asarray(v)) for k, v in stage.items()}
     NSB = stage["sup"].shape[0]
     NT = NW // bs.TILE
