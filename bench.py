@@ -376,8 +376,9 @@ def main() -> None:
     }
 
     # Full decode step: block-packed residual unpack + Pallas reconstruction
-    # + mid/side + fixed-width block-spread PCM pack (the production
-    # _decode_lanes_bp program), two-phase pipelined like the encoder.
+    # + mid/side + bit-plane PCM pack (the production _decode_lanes_bp
+    # program), single-phase like the encoder (pack fused at the PCM
+    # worst-case bucket).
     from flo_tpu.lossless.decoder import _decode_lanes_bp
     from flo_tpu.ops import blockpack as _bp
 
@@ -402,23 +403,24 @@ def main() -> None:
 
     def dd_dispatch():
         out = _decode_lanes_bp(*dd_args, 2, RATE)
-        _shc(out[3])
+        _shc(out[4])
         return out
 
-    def dd_finish(out):
-        stage, _m, _w, bytes_d, _o = out
-        total = int(np.asarray(bytes_d).astype(np.int64).sum())
-        return _bp.pack_rows_stage2(
-            NW=blockspread.bucket_words(max(total // 4, 1)), **stage
-        )
-
-    dt, lat = _time_two_phase(dd_dispatch, dd_finish)
+    t0 = time.time()
+    _force(dd_dispatch()[1])
+    t0 = time.time()
+    _force(dd_dispatch()[1])
+    lat = time.time() - t0
+    t0 = time.time()
+    outs = [dd_dispatch() for _ in range(6)]
+    _force(outs[-1][1])
+    dt = (time.time() - t0) / 6
     configs["device_decode"] = {
         "value": round(BREADTH_FILES * BREADTH_SECONDS / dt, 1),
         "latency_ms": round(lat * 1e3, 1),
         "note": "full decode step (blockpack unpack + Pallas reconstruct + "
-                "block-spread PCM pack), device-resident I/O, 2-deep "
-                "pipelined steady state",
+                "bit-plane PCM pack), fused single-phase at the PCM "
+                "worst-case bucket, device-resident I/O, steady state",
     }
 
     # Lossy encode compute: the full MDCT -> psychoacoustics -> quantize ->

@@ -166,8 +166,9 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
     """Block-packed decode step: residual lanes in AND reconstructed PCM
     out through the bit-plane blockpack transport (compressed-size payloads,
     no per-code indexed ops in either direction — one 8-word-row scatter
-    per upload plane unit, one row gather per download unit; the collect
-    path dispatches pack_rows_stage2 at the entropy-sized bucket). The only
+    per upload plane unit, one row gather per download unit). The download
+    pack runs fused at the PCM worst-case bucket (pack_rows_fused), so no
+    size download sits on the device stream between phases. The only
     sequential device work left is the reconstruction recurrence itself."""
     rows = blockpack.unpack_rows(
         buf, up_modes, up_widths, up_off, lane_nvalid, S
@@ -181,7 +182,7 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
         ms = mid_side[:, None]
         fcs = jnp.stack([jnp.where(ms, left, m), jnp.where(ms, right, s)], axis=1)
     lanes = fcs.reshape(-1, S)
-    return blockpack.pack_rows_stage1(lanes, lane_nvalid)
+    return blockpack.pack_rows_fused(lanes, lane_nvalid)
 
 
 def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
@@ -274,9 +275,9 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
             )
             # Small outputs (modes/widths/bytes) start their host copy now
-            # (ready when compute ends); the payload assembly + prefix fetch
-            # start in collect's first phase.
-            start_host_copy(handle[1], handle[2], handle[3])
+            # (ready when compute ends); the prefix fetch starts in
+            # collect's first phase (the pack itself already ran fused).
+            start_host_copy(handle[2], handle[3], handle[4])
             return handle, lo, hi
 
         handles = []
@@ -306,18 +307,21 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             from ..ops import blockspread
 
             started = []
-            for (stage, modes_d, widths_d, bytes_d, _off_d), lo, hi in handles:
-                # Stage 2 at the entropy-sized bucket; offsets recomputed
-                # host-side (lane payloads are 32-byte multiples and tile
-                # the stream; padded mesh lanes are a zero-byte tail,
-                # dropped by the [:hi-lo] slices below).
+            for (stage, words_d, modes_d, widths_d, bytes_d, _off_d), lo, hi in handles:
+                # Offsets recomputed host-side (lane payloads are 32-byte
+                # multiples and tile the stream; padded mesh lanes are a
+                # zero-byte tail, dropped by the [:hi-lo] slices below).
                 dn_bytes = np.asarray(bytes_d).astype(np.int64)
                 boff = np.concatenate([[0], np.cumsum(dn_bytes)])
                 total_bytes = int(boff[-1])
-                words_dev = blockpack.pack_rows_stage2(
-                    NW=blockspread.bucket_words(total_bytes // 4), **stage
-                )
-                h = blockspread.fetch_words_start(words_dev, total_bytes)
+                if total_bytes > words_d.size * 4:
+                    # Corrupt-stream route: reconstruction garbage widened a
+                    # block past PCM_WORST_BITS — redispatch at the exact
+                    # entropy-sized bucket.
+                    words_d = blockpack.pack_rows_stage2(
+                        NW=blockspread.bucket_words(total_bytes // 4), **stage
+                    )
+                h = blockspread.fetch_words_start(words_d, total_bytes)
                 started.append(
                     (h, total_bytes, boff[:-1], modes_d, widths_d, lo, hi)
                 )

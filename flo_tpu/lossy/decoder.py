@@ -116,7 +116,7 @@ def _decode_blocks_packed(entries, row_nnz, total, sf, lane_nvalid,
     s = _decode_blocks(q, sf, sample_rate, n)  # [N, T, n2, C]
     i16 = jnp.clip(jnp.round(s * 32767.0), -32768.0, 32767.0).astype(jnp.int32)
     rows = jnp.moveaxis(i16, -1, -2).reshape(N * T * C, n2)
-    return blockpack.pack_rows_stage1(rows, lane_nvalid)
+    return blockpack.pack_rows_fused(rows, lane_nvalid)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "n"))
@@ -247,25 +247,26 @@ def decode_many_async(
         )
         from ..futures import start_host_copy
 
-        start_host_copy(h[1], h[2], h[3])  # modes/widths/bytes
+        start_host_copy(h[2], h[3], h[4])  # modes/widths/bytes
         handles.append((lo, hi, nv, h))
 
     def fin() -> list[np.ndarray]:
         from ..ops import blockpack, blockspread
 
         outs = [None] * N
-        # Phase 1: dispatch every chunk's stage-2 assembly at the
-        # entropy-sized bucket and async-start its payload download.
+        # Phase 1: async-start every chunk's payload download (the pack
+        # already ran fused at the PCM worst-case bucket).
         started = []
         for lo, hi, nv, h in handles:
-            stage, modes_d, widths_d, bytes_d, _off_d = h
+            stage, words_d, modes_d, widths_d, bytes_d, _off_d = h
             dn_bytes = np.asarray(bytes_d).astype(np.int64)
             boff = np.concatenate([[0], np.cumsum(dn_bytes)])
             total = int(boff[-1])
-            words_dev = blockpack.pack_rows_stage2(
-                NW=blockspread.bucket_words(total // 4), **stage
-            )
-            hp = blockspread.fetch_words_start(words_dev, total)
+            if total > words_d.size * 4:  # corrupt-stream width overflow
+                words_d = blockpack.pack_rows_stage2(
+                    NW=blockspread.bucket_words(total // 4), **stage
+                )
+            hp = blockspread.fetch_words_start(words_d, total)
             started.append(
                 (lo, hi, nv, hp, total, boff[:-1], modes_d, widths_d)
             )

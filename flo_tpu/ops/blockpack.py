@@ -331,6 +331,36 @@ def pack_rows_stage1(rows, nvalid):
     return stage, modes, w.astype(jnp.uint8), lane_bytes, lane_off
 
 
+#: Worst-case bit width per code for the PCM download direction: decoded
+#: PCM is i16 by format (zigzag <= 17 bits); +1 headroom. A corrupt stream
+#: can exceed this (reconstruction garbage) — callers fall back to the
+#: entropy-bucketed two-phase path when the actual payload overflows.
+PCM_WORST_BITS = 18
+
+
+def pack_worst_words_pcm(L: int, S: int) -> int:
+    """Static u32 word bound for pack_rows of an [L, S] i16-PCM batch."""
+    return max(L * nblocks(S) * PCM_WORST_BITS * 8, 8)
+
+
+def pack_rows_fused(rows, nvalid):
+    """Single-phase device pack (download direction): stage 1 + the unit
+    compaction at the static PCM worst-case bucket, in one program — no
+    inter-stage size download on the device stream (each device->host read
+    stalls ~15 ms through the tunnel; see ops/blockspread.pack_worst_words).
+
+    Returns (stage, words, modes, widths u8, lane_bytes i32, lane_off i32);
+    `words` covers the payload whenever every block's width fits
+    PCM_WORST_BITS (always, for spec-valid i16 PCM). Callers check
+    ``total <= words.size * 4`` and redispatch :func:`pack_rows_stage2` at
+    an entropy-sized bucket from `stage` otherwise (corrupt-stream route).
+    """
+    L, S = rows.shape
+    stage, modes, widths, lane_bytes, lane_off = pack_rows_stage1(rows, nvalid)
+    words = pack_rows_stage2(NW=pack_worst_words_pcm(L, S), **stage)
+    return stage, words, modes, widths, lane_bytes, lane_off
+
+
 @partial(jax.jit, static_argnames=("NW",))
 def pack_rows_stage2(pw, widths_i32, lane_off_i32, NW: int):
     """Device pack, phase 2: compact the live plane units into the

@@ -148,26 +148,12 @@ def main():
             d_fixed, d_ms, d_nv, CH, S,
         )
 
-    def full2(out):
-        stage, _m, _w, lb, lo = out
-        tot = int(np.asarray(lo)[-1] + np.asarray(lb)[-1])
-        return blockpack.pack_rows_stage2(
-            NW=blockspread.bucket_words(max(tot // 4, 1)), **stage
-        )
-
-    # two-phase 2-deep pipeline, same as bench.py
-    _force(full2(full()))
-    states = [full()]
-    prev = None
+    # single-phase (pack fused at the PCM worst-case bucket), same as bench
+    _force(full()[1])
     reps = 6
     t0 = time.time()
-    for _ in range(reps):
-        states.append(full())
-        w = full2(states.pop(0))
-        if prev is not None:
-            _force(prev)
-        prev = w
-    _force(prev)
+    outs = [full() for _ in range(reps)]
+    _force(outs[-1][1])
     dt = (time.time() - t0) / reps
     print(f"{'full':8s} {dt*1e3:8.2f} ms  {audio_sec/dt:8.1f}x realtime", flush=True)
 
