@@ -263,8 +263,13 @@ def _dispatch_active_frames(
     """
     Fa = lanes.shape[0] // C
     G = PIPELINE_CHUNKS if Fa >= 2 * PIPELINE_CHUNKS else 1
-    # Keep every chunk under the device packer's int32 bit-index bound.
-    G = max(G, -(-(lanes.shape[0] * lanes.shape[1]) // ricepack.MAX_BATCH_SAMPLES))
+    # Keep every chunk under the device packer's int32 bit-index bound
+    # (shape buckets can pad a chunk's lane axis up to 1.5x, so budget for it).
+    from ..parallel import pipeline as _pp
+
+    pad_factor = 3 if _pp.shape_buckets_on() else 2
+    G = max(G, -(-(lanes.shape[0] * lanes.shape[1] * pad_factor // 2)
+                 // ricepack.MAX_BATCH_SAMPLES))
     chunk = -(-Fa // G)
     states = []
     for g in range(G):

@@ -237,6 +237,8 @@ def encode_many_to_frames_async(
         t_max = max(hops, default=0)
         if t_max == 0:
             return BulkFuture(lambda: [[] for _ in samples_list])
+        if _pp.shape_buckets_on():
+            t_max = _pp.bucket_count(t_max)  # bound the hop-axis shape set
         N = len(flats)
         stacked = np.zeros((N * C, (t_max + 1) * HOP), np.int32)
         for i, (arr, n) in enumerate(flats):
@@ -254,6 +256,8 @@ def encode_many_to_frames_async(
         t_max = max(hops, default=0)
         if t_max == 0:
             return BulkFuture(lambda: [[] for _ in samples_list])
+        if _pp.shape_buckets_on():
+            t_max = _pp.bucket_count(t_max)  # bound the hop-axis shape set
         N = len(per_file)
         stacked = np.zeros((N * C, (t_max + 1) * HOP), dtype=transport_dtype)
         for i, (padded, nh) in enumerate(per_file):

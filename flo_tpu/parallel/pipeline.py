@@ -25,6 +25,7 @@ exercised end-to-end by __graft_entry__.dryrun_multichip).
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 from functools import partial
 
@@ -38,14 +39,17 @@ from ..ops.select import encode_select_step  # re-exported sharded step
 __all__ = [
     "active_mesh",
     "batch_sharding",
+    "bucket_count",
     "decode_step",
     "device_mesh",
     "encode_select_step",
     "pad_batch",
     "put_batch",
     "put_replicated",
+    "shape_buckets_on",
     "shard_batch",
     "use_mesh",
+    "use_shape_buckets",
 ]
 
 #: Ambient mesh stack for the bulk pipelines (see use_mesh).
@@ -73,10 +77,46 @@ def mesh_size(mesh: Mesh | None) -> int:
     return 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
 
 
+#: Shape-bucket mode stack (see use_shape_buckets). Opt-in because the
+#: padding costs up to +33% device compute on a one-shot batch; it pays for
+#: itself whenever batch geometry varies call-to-call (serving), since every
+#: remote-compiled TPU program costs minutes on a cache miss.
+_SHAPE_BUCKETS: list[bool] = [os.environ.get("FLO_SHAPE_BUCKETS", "0") not in ("", "0")]
+
+
+@contextmanager
+def use_shape_buckets(enabled: bool = True):
+    """Pad bulk-pipeline batch axes (lanes; the lossy hop axis) to
+    {1, 1.5}x2^k buckets inside the block, so arbitrary batch geometries hit
+    a logarithmic set of compiled programs instead of one per exact shape.
+    Padding rows are the same inert nvalid=0 / all-zero lanes the mesh
+    padding already uses, so outputs are unchanged (tests/test_bulk.py)."""
+    _SHAPE_BUCKETS.append(bool(enabled))
+    try:
+        yield
+    finally:
+        _SHAPE_BUCKETS.pop()
+
+
+def shape_buckets_on() -> bool:
+    return _SHAPE_BUCKETS[-1]
+
+
+def bucket_count(n: int, floor: int = 4) -> int:
+    """{1, 1.5} x 2^k growth bucket (4, 6, 8, 12, 16, 24, 32, ...)."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b * 3 // 4 if (b * 3 // 4 >= n and b * 3 // 4 >= floor) else b
+
+
 def pad_batch(n: int, mesh: Mesh | None) -> int:
     """Round a batch count up to a mesh multiple (padding lanes are inert:
-    nvalid=0 rows select raw with zero payload bytes everywhere)."""
+    nvalid=0 rows select raw with zero payload bytes everywhere). Under
+    :func:`use_shape_buckets`, round up to a shape bucket first."""
     d = mesh_size(mesh)
+    if _SHAPE_BUCKETS[-1] and n > 0:
+        n = bucket_count(n)
     return -(-n // d) * d
 
 

@@ -232,3 +232,57 @@ class TestChunkedFallbackPaths:
         assert len(stage2_nws) >= 2 and max(stage2_nws) > min(stage2_nws), stage2_nws
         for w, g in zip(want, got):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+class TestShapeBuckets:
+    """use_shape_buckets(): batch axes pad to {1,1.5}x2^k buckets so varied
+    geometries hit a bounded compiled-program set; outputs must be unchanged
+    (padding rows are the inert nvalid=0 lanes mesh padding already uses)."""
+
+    def test_pad_batch_buckets(self):
+        from flo_tpu.parallel import pipeline as pp
+
+        assert pp.pad_batch(5, None) == 5  # off by default
+        with pp.use_shape_buckets():
+            assert pp.pad_batch(1, None) == 4
+            assert pp.pad_batch(5, None) == 6
+            assert pp.pad_batch(7, None) == 8
+            assert pp.pad_batch(13, None) == 16
+            assert pp.pad_batch(0, None) == 0
+            assert pp.bucket_count(24) == 24
+        assert pp.pad_batch(5, None) == 5
+
+    def test_bucketed_lossless_byte_identical(self, files):
+        from flo_tpu.parallel import pipeline as pp
+
+        rate, fs = files
+        want = lle.encode_many(fs, rate, 2, 16, 5, analysis="exact")
+        with pp.use_shape_buckets():
+            got = lle.encode_many(fs, rate, 2, 16, 5, analysis="exact")
+        assert got == want
+
+    def test_bucketed_decode_bit_exact(self, files):
+        from flo_tpu.parallel import pipeline as pp
+
+        rate, fs = files
+        flos = [reader.read(b) for b in lle.encode_many(fs, rate, 2, 16, 5)]
+        want = lld.decode_many(flos)
+        with pp.use_shape_buckets():
+            got = lld.decode_many(flos)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_bucketed_lossy_equivalent(self, files):
+        from flo_tpu.parallel import pipeline as pp
+
+        rate, fs = files
+        want = loe.encode_many(fs, rate, 2, 0.55)
+        with pp.use_shape_buckets():
+            got = loe.encode_many(fs, rate, 2, 0.55)
+        for s, a, b in zip(fs, want, got):
+            assert abs(len(a) - len(b)) <= max(0.01 * len(a), 64)
+            oa, ob = lod.decode(a), lod.decode(b)
+            m = min(len(oa), len(ob))
+            # Same bound as the mesh-sharded equality tests: the f32 FFT
+            # stages are ulp-nondeterministic across batch shapes.
+            assert np.abs(oa[:m] - ob[:m]).max() < 3.1e-5
