@@ -271,48 +271,6 @@ def main() -> None:
             _force(out)
         return (time.time() - t0) / reps
 
-    _probe_jit = jax.jit(lambda w: jax.tree_util.tree_leaves(w)[0].ravel()[:1])
-
-    def _time_two_phase(dispatch, finish, reps=6, depth=3):
-        """Steady-state seconds/pass of a two-phase device pass, `depth`-deep
-        pipelined: later passes' phase 1 is dispatched before this pass's
-        tiny size download, so the device never idles during the inter-phase
-        round trip — the same overlap the chunked production pipelines get
-        from _start_chunk_fetch's phase-1 loop (dispatchers start the size
-        arrays' host copies, so by finish() time they are resident and the
-        tunnel RTT is off the critical path). The execution barrier is a
-        4-byte probe slice whose device->host copy starts at finish() time,
-        so forcing it `depth` passes later never pays a fresh tunnel RTT
-        (the production pipelines' async prefix downloads do the same).
-        Also returns the single-shot latency (which keeps the RTT — that IS
-        single-shot latency through this tunnel)."""
-        from flo_tpu.futures import start_host_copy as _shc2
-
-        t0 = time.time()
-        _force(finish(dispatch()))  # compile both phases
-        t_compile = time.time() - t0
-        t0 = time.time()
-        _force(finish(dispatch()))
-        latency = time.time() - t0
-
-        def fin(st):
-            p = _probe_jit(finish(st))
-            _shc2(p)
-            return p
-
-        fin(dispatch())  # compile the probe
-        states = [dispatch() for _ in range(depth)]
-        probes = []
-        t0 = time.time()
-        for _ in range(reps):
-            states.append(dispatch())
-            probes.append(fin(states.pop(0)))
-            if len(probes) > depth:
-                _force(probes.pop(0))
-        for p in probes:
-            _force(p)
-        return (time.time() - t0) / reps, latency
-
     from flo_tpu.ops import blockspread
 
     from flo_tpu.futures import start_host_copy as _shc

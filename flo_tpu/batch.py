@@ -41,14 +41,25 @@ def _analyzed_metas_async(samples_list, sample_rate, channels, metadata_list, an
     box: list = []
 
     def run():
-        box.append(analyze_many(samples_list, sample_rate, channels, metadata_list))
+        # Capture failures: the collect-side get() re-raises them, so an
+        # analysis error surfaces with its real traceback instead of the
+        # worker dying silently and get() hitting an empty box.
+        try:
+            box.append(
+                (True, analyze_many(samples_list, sample_rate, channels, metadata_list))
+            )
+        except BaseException as e:  # noqa: BLE001 — re-raised at get()
+            box.append((False, e))
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
 
     def get():
         t.join()
-        return box[0]
+        ok, val = box[0]
+        if not ok:
+            raise val
+        return val
 
     return get
 

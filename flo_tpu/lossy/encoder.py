@@ -286,32 +286,35 @@ def encode_many_to_frames_async(
 
     def fin() -> list[list[Frame]]:
         # Chunk 0 assembles two-phase (exact bucket after its size read);
-        # later chunks dispatch a SPECULATIVE assembly at the previous
-        # chunk's bucket before their own size read, so the read's tunnel
-        # stall (~15 ms — every device->host read pays it) overlaps the
-        # assembly's execution instead of idling the device. A miss (bucket
-        # too small) just redispatches at the exact size.
+        # every later chunk's assembly is dispatched SPECULATIVELY at the
+        # running max bucket BEFORE that chunk's own size read, so the
+        # read's tunnel stall (~15 ms — every device->host read pays it)
+        # overlaps the assembly's execution instead of idling the device.
+        # A miss (bucket too small) just redispatches at the exact size.
         q_parts, sf_parts = [], []
         ne_spec = None
         spec_d = [None] * len(handles)
         for idx, (nl, (comp_d, blk_nnz_d, row_nnz_d, sf_d)) in enumerate(handles):
-            if idx + 1 < len(handles) and ne_spec is not None:
-                nxt = handles[idx + 1][1]
-                spec_d[idx + 1] = (
-                    compact.assemble_entries(nxt[0], nxt[1], NE=ne_spec),
-                    ne_spec,
-                )
             # [:nl...]: drop inert mesh-padding lanes (zero rows at the tail
             # contribute no nonzero entries, so the prefix is unaffected).
             row_nnz = np.asarray(row_nnz_d)[: nl * t_max]
             sf_parts.append(np.asarray(sf_d)[:nl])
             total = int(row_nnz.sum())
             need = compact.bucket_entries(total)
+            ne_spec = max(need, ne_spec or 0)
             if spec_d[idx] is not None and need <= spec_d[idx][1]:
                 entries_d = spec_d[idx][0]
             else:
                 entries_d = compact.assemble_entries(comp_d, blk_nnz_d, NE=need)
-            ne_spec = max(need, ne_spec or 0)
+            # Arm chunk idx+1 now — after this chunk's (possibly exact)
+            # assembly so a miss redispatch isn't queued behind it, but
+            # before this chunk's payload fetch and the next size read.
+            if idx + 1 < len(handles):
+                nxt = handles[idx + 1][1]
+                spec_d[idx + 1] = (
+                    compact.assemble_entries(nxt[0], nxt[1], NE=ne_spec),
+                    ne_spec,
+                )
             entries = compact.fetch_prefix(entries_d, total)
             cols, vals = compact.split_entries(entries)
             R = nl * t_max

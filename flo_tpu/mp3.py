@@ -121,12 +121,36 @@ def _decode_text(body: bytes) -> str:
     return s.strip("\x00").strip() or ""
 
 
+def _split_term(buf: bytes, enc: int) -> tuple[bytes, bytes]:
+    """Split at the encoding's NUL terminator.
+
+    UTF-16 terminators are 2-byte code units; a byte-level search for
+    b"\\x00\\x00" lands one byte early on any ASCII UTF-16LE text (…41 00
+    followed by 00 00), corrupting the remainder — so scan aligned pairs.
+    """
+    if enc in (1, 2):
+        for i in range(0, len(buf) - 1, 2):
+            if buf[i] == 0 and buf[i + 1] == 0:
+                return buf[:i], buf[i + 2 :]
+        return buf, b""
+    desc, _, rest = buf.partition(b"\x00")
+    return desc, rest
+
+
+#: ID3v2.2 3-char frame IDs -> their v2.3/2.4 equivalents (id3v2-00 §4).
+_V22_IDS = {
+    b"TT2": b"TIT2", b"TP1": b"TPE1", b"TAL": b"TALB", b"TP2": b"TPE2",
+    b"TCO": b"TCON", b"TYE": b"TYER", b"TRK": b"TRCK", b"TBP": b"TBPM",
+    b"COM": b"COMM", b"PIC": b"APIC",
+}
+
+
 def parse_id3v2(data: bytes) -> tuple[AudioMetadata, int]:
     """Parse a leading ID3v2 block -> (metadata, total header bytes).
 
-    Returns (empty metadata, 0) when no tag is present.  Handles v2.3
-    (big-endian frame sizes) and v2.4 (syncsafe frame sizes) — the two
-    versions real encoders emit (lame writes v2.3, most taggers v2.4).
+    Returns (empty metadata, 0) when no tag is present.  Handles v2.2
+    (3-byte IDs/sizes, translated via _V22_IDS), v2.3 (big-endian frame
+    sizes) and v2.4 (syncsafe frame sizes).
     """
     md = AudioMetadata(source_format="mp3")
     if len(data) < 10 or data[:3] != b"ID3":
@@ -135,9 +159,15 @@ def parse_id3v2(data: bytes) -> tuple[AudioMetadata, int]:
     size = _syncsafe(data[6:10])
     total = 10 + size + (10 if flags & 0x10 else 0)  # footer flag
     body = bytearray(data[10 : 10 + size])
-    if flags & 0x80:  # whole-tag unsynchronisation (v2.3 style)
+    v22 = ver_major <= 2
+    if v22 and flags & 0x40:  # v2.2 'compression' bit: tag is unparseable
+        return md, min(total, len(data))
+    if flags & 0x80 and ver_major < 4:
+        # Whole-tag unsynchronisation: in v2.2/2.3 frame sizes describe the
+        # DE-unsynced bytes. In v2.4 the tag flag only says every frame is
+        # unsynced — sizes count the on-disk bytes, so de-unsync per frame.
         body = bytearray(bytes(body).replace(b"\xff\x00", b"\xff"))
-    if flags & 0x40:  # extended header: skip it
+    if not v22 and flags & 0x40:  # extended header: skip it
         if ver_major >= 4:
             ext = _syncsafe(bytes(body[0:4]))
         else:
@@ -146,36 +176,54 @@ def parse_id3v2(data: bytes) -> tuple[AudioMetadata, int]:
 
     texts: dict[str, str] = {}
     pos = 0
-    while pos + 10 <= len(body):
-        fid = bytes(body[pos : pos + 4])
-        if fid == b"\x00\x00\x00\x00":
-            break
-        if ver_major >= 4:
-            fsize = _syncsafe(bytes(body[pos + 4 : pos + 8]))
+    hdr = 6 if v22 else 10
+    while pos + hdr <= len(body):
+        if v22:
+            raw_id = bytes(body[pos : pos + 3])
+            if raw_id == b"\x00\x00\x00":
+                break
+            fid = _V22_IDS.get(raw_id, b"????")
+            fsize = int.from_bytes(bytes(body[pos + 3 : pos + 6]), "big")
+            fflags = 0
         else:
-            fsize = struct.unpack(">I", bytes(body[pos + 4 : pos + 8]))[0]
-        fflags = struct.unpack(">H", bytes(body[pos + 8 : pos + 10]))[0]
-        fbody = bytes(body[pos + 10 : pos + 10 + fsize])
-        pos += 10 + fsize
-        if ver_major >= 4 and fflags & 0x02:  # per-frame unsync
+            fid = bytes(body[pos : pos + 4])
+            if fid == b"\x00\x00\x00\x00":
+                break
+            if ver_major >= 4:
+                fsize = _syncsafe(bytes(body[pos + 4 : pos + 8]))
+            else:
+                fsize = struct.unpack(">I", bytes(body[pos + 4 : pos + 8]))[0]
+            fflags = struct.unpack(">H", bytes(body[pos + 8 : pos + 10]))[0]
+        fbody = bytes(body[pos + hdr : pos + hdr + fsize])
+        pos += hdr + fsize
+        if ver_major >= 4 and (fflags & 0x02 or flags & 0x80):  # frame unsync
             fbody = fbody.replace(b"\xff\x00", b"\xff")
         if fid.startswith(b"T") and fid != b"TXXX":
             texts[fid.decode("ascii", "replace")] = _decode_text(fbody)
         elif fid == b"COMM" and len(fbody) > 4:
             enc = fbody[0]
             rest = fbody[4:]  # skip encoding + 3-byte language
-            term = b"\x00\x00" if enc in (1, 2) else b"\x00"
-            _desc, _, text = rest.partition(term)
+            _desc, text = _split_term(rest, enc)
             texts.setdefault("COMM", _decode_text(bytes([enc]) + text))
         elif fid == b"APIC" and md.cover_art is None:
             enc = fbody[0]
-            mime, _, rest = fbody[1:].partition(b"\x00")
-            if rest:
-                rest = rest[1:]  # picture type byte
-                term = b"\x00\x00" if enc in (1, 2) else b"\x00"
-                _desc, _, pic = rest.partition(term)
+            if v22:
+                # v2.2 PIC: 3-char image format instead of a MIME string.
+                fmt = fbody[1:4].decode("latin-1", "replace").strip().lower()
+                mime_s = {"png": "image/png", "jpg": "image/jpeg"}.get(
+                    fmt, "image/" + (fmt or "unknown")
+                )
+                rest = fbody[5:]  # skip picture type byte
+                _desc, pic = _split_term(rest, enc)
                 if pic:
-                    md.cover_art = (mime.decode("latin-1", "replace"), pic)
+                    md.cover_art = (mime_s, pic)
+            else:
+                mime, _, rest = fbody[1:].partition(b"\x00")
+                if rest:
+                    rest = rest[1:]  # picture type byte
+                    _desc, pic = _split_term(rest, enc)
+                    if pic:
+                        md.cover_art = (mime.decode("latin-1", "replace"), pic)
 
     md.title = texts.get("TIT2") or None
     md.artist = texts.get("TPE1") or None

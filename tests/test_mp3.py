@@ -144,3 +144,90 @@ class TestCliFlow:
         meta = lib.get_metadata(blob)
         assert meta.title == "FromMp3" and meta.artist == "A"
         assert meta.source_format == "mp3"
+
+
+class TestId3EdgeCases:
+    """Regressions: UTF-16 terminator alignment, v2.4 unsync semantics,
+    ID3v2.2 translation (id3v2-00 / id3v2.4-structure specs)."""
+
+    @staticmethod
+    def _v24_tag(frames: bytes, flags: int = 0) -> bytes:
+        sz = len(frames)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        return b"ID3\x04\x00" + bytes([flags]) + ss + frames
+
+    @staticmethod
+    def _v24_frame(fid: bytes, body: bytes, fflags: int = 0) -> bytes:
+        sz = len(body)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        return fid + ss + bytes([0, fflags]) + body
+
+    def test_utf16_description_terminator_alignment(self):
+        # UTF-16LE desc 'A' = 41 00; byte-level search for 00 00 would split
+        # one byte early and corrupt the text / cover bytes.
+        desc = "A".encode("utf-16-le")
+        text = b"\xff\xfe" + "Hi".encode("utf-16-le")  # BOM + UTF-16LE
+        comm = b"\x01eng" + desc + b"\x00\x00" + text
+        pic = b"\x89PNGDATA"
+        apic = b"\x01image/png\x00\x03" + desc + b"\x00\x00" + pic
+        tag = self._v24_tag(
+            self._v24_frame(b"COMM", comm) + self._v24_frame(b"APIC", apic)
+        )
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.comment == "Hi"
+        assert md.cover_art == ("image/png", pic)
+
+    def test_v24_tag_level_unsync_per_frame(self):
+        # v2.4: tag flag 0x80 means frames are unsynced; frame sizes count
+        # the ON-DISK (still-unsynced) bytes, so de-unsync must run per
+        # frame, not via a whole-tag replace that shifts every offset.
+        body1 = b"\x00AB\xff\x00\xe0CD"   # de-unsyncs to AB\xff\xe0CD
+        body2 = b"\x00Title"
+        tag = self._v24_tag(
+            self._v24_frame(b"TPE1", body1) + self._v24_frame(b"TIT2", body2),
+            flags=0x80,
+        )
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.title == "Title"          # second frame still aligned
+        assert md.artist == "AB\xff\xe0CD".encode("latin-1").decode("latin-1")
+
+    def test_id3v22_translated(self):
+        def fr(fid3: bytes, body: bytes) -> bytes:
+            return fid3 + len(body).to_bytes(3, "big") + body
+
+        frames = (
+            fr(b"TT2", b"\x00Old Song")
+            + fr(b"TP1", b"\x00Old Band")
+            + fr(b"TAL", b"\x00Old LP")
+            + fr(b"TYE", b"\x001999")
+            + fr(b"TRK", b"\x003/12")
+            + fr(b"PIC", b"\x00PNG\x03" + b"desc\x00" + b"\x89PNGPIC")
+        )
+        sz = len(frames)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        tag = b"ID3\x02\x00\x00" + ss + frames
+        md, consumed = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert consumed == 10 + sz
+        assert md.title == "Old Song" and md.artist == "Old Band"
+        assert md.album == "Old LP" and md.year == 1999 and md.track_number == 3
+        assert md.cover_art == ("image/png", b"\x89PNGPIC")
+
+
+class TestAnalysisWorkerErrors:
+    def test_analysis_exception_propagates(self, monkeypatch):
+        """An analysis failure on the worker thread must surface with its
+        real error at collect time, not a bare IndexError from an empty
+        result box."""
+        import flo_tpu.core.analysis_batch as ab
+        from flo_tpu import batch
+
+        def boom(*a, **kw):
+            raise RuntimeError("analysis exploded")
+
+        monkeypatch.setattr(ab, "analyze_many", boom)
+        clip = (0.1 * np.sin(np.arange(8000) * 0.01)).astype(np.float32)
+        with pytest.raises(RuntimeError, match="analysis exploded"):
+            batch.encode_many([clip], 4000, 2, analyze=True)
