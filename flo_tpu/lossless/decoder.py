@@ -143,10 +143,9 @@ def _device_decode(rows, coeffs, shifts, orders, is_fixed, mid_side, channels: i
 def _bucket_bytes(n: int, floor: int = 1 << 20) -> int:
     """Upload-buffer bucket: {1, 1.5} x 2^k growth bounds both the zero
     padding (<= 33%) and the number of distinct compiled shapes."""
-    b = floor
-    while b < n:
-        b <<= 1
-    return b * 3 // 4 if (b * 3 // 4 >= n and b * 3 // 4 >= floor) else b
+    from ..buckets import grow_bucket
+
+    return grow_bucket(n, floor)
 
 
 def decode_file(flo: FloFile) -> np.ndarray:

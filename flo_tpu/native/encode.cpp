@@ -91,7 +91,14 @@ void fixed_residuals(const int32_t* s, int64_t n, int order, int32_t* r) {
     }
 }
 
-// LPC residuals; returns max wrapping-abs (negative iff i32::MIN appeared).
+// LPC residuals; returns max over signed wrapping-abs values — EXACTLY the
+// reference's `residuals.iter().map(|&r| r.abs()).max()` (encoder.rs:269):
+// in release Rust i32::MIN.abs() wraps to i32::MIN, which loses a signed
+// max against any non-negative value, so a pathological i32::MIN residual
+// does NOT mark the candidate unstable unless every entry is i32::MIN.
+// (The device path's exact candidate_size uses the same wrapping max;
+// only its f32 selection stats differ — ops/select.py "Unreachable
+// pathology" note.)
 int32_t lpc_residuals(const int32_t* s, int64_t n, const int32_t* c, int order,
                       int shift, int32_t* r) {
     int32_t max_wa = 0;
@@ -106,8 +113,7 @@ int32_t lpc_residuals(const int32_t* s, int64_t n, const int32_t* c, int order,
         int32_t v = wrap_i32((int64_t)s[i] - (int64_t)pw);
         r[i] = v;
         int32_t wa = v < 0 ? wrap_i32(-(int64_t)v) : v;  // Rust wrapping abs
-        if (wa > max_wa || wa < 0) max_wa = wa < 0 ? wa : (wa > max_wa ? wa : max_wa);
-        if (wa < 0) max_wa = wa;
+        if (wa > max_wa) max_wa = wa;
     }
     return max_wa;
 }
@@ -209,7 +215,10 @@ void lossless_search_batch(
                     cq[j] = (int32_t)q;
                 }
                 int32_t max_wa = lpc_residuals(s, n, cq, order, shift, tmp);
-                if (max_wa < 0 || max_wa > 1000000) continue;  // encoder.rs:269-271
+                // encoder.rs:269-271 (max_wa < 0 only when every residual is
+                // i32::MIN — Rust's wrapped max accepts that too, but k
+                // estimation on it is meaningless; keep the reject).
+                if (max_wa < 0 || max_wa > 1000000) continue;
                 int k = estimate_k(tmp, n);
                 int64_t size = rice_size_bytes(tmp, n, k);
                 if (size < best_size) {

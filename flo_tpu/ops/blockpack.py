@@ -150,7 +150,20 @@ def pack_host(rows: np.ndarray, nvalid: np.ndarray):
 
 def _plane_units(widths: np.ndarray, lane_off: np.ndarray):
     """Flat (block, plane) coordinates of every 8-word plane unit in the
-    payload, in stream order. widths [L, NB] -> (blk_of_unit, p_of_unit)."""
+    payload, in stream order. widths [L, NB] -> (blk_of_unit, p_of_unit).
+
+    Derives positions purely from the widths cumsum, which is only valid
+    for CONTIGUOUS lane payloads — asserted here so the numpy paths (the
+    declared test oracles) can never silently mis-read a gapped/realigned
+    buffer that the offset-honoring C++ path would handle correctly."""
+    per_lane = widths.astype(np.int64).sum(axis=1) * 32
+    want_off = np.zeros(widths.shape[0], np.int64)
+    np.cumsum(per_lane[:-1], out=want_off[1:])
+    if not np.array_equal(np.asarray(lane_off, np.int64), want_off):
+        raise ValueError(
+            "numpy blockpack path requires contiguous lane payloads "
+            "(lane_off must equal the running sum of lane sizes)"
+        )
     w = widths.astype(np.int64).reshape(-1)
     blk = np.repeat(np.arange(w.size, dtype=np.int64), w)
     unit0 = np.concatenate([[0], np.cumsum(w)[:-1]])

@@ -472,7 +472,6 @@ def pack_stage2(sup, S0x, advx, nxtx, own_t, own_ds,
     # Patch pass: write each flagged code's full bit pattern additively
     # (its words are untouched by the spread, neighbours' bits disjoint).
     first_word = p_s >> 5
-    p_ku = jnp.maximum(p_clen - 1 - p_q, 0).astype(jnp.uint32)  # k bits
 
     def code_word(t):
         """32-bit word t of the code's span, MSB-first (vector [PATCH_CAP])."""
@@ -533,10 +532,9 @@ def pack_worst_words(L: int, S: int) -> int:
 
 def bucket_words(n: int, floor: int = 1 << 16) -> int:
     """{1, 1.5} x 2^k growth bucket for the stage-2 word count."""
-    b = floor
-    while b < n:
-        b <<= 1
-    return b * 3 // 4 if (b * 3 // 4 >= n and b * 3 // 4 >= floor) else b
+    from ..buckets import grow_bucket
+
+    return grow_bucket(n, floor)
 
 
 def fetch_words_start(words_dev, total_bytes: int):

@@ -158,10 +158,9 @@ PREFIX_BUCKET = 2 << 20
 
 def bucket_entries(n: int, floor: int = 1 << 16) -> int:
     """{1, 1.5} x 2^k growth bucket for the assemble_entries size."""
-    b = floor
-    while b < n:
-        b <<= 1
-    return b * 3 // 4 if (b * 3 // 4 >= n and b * 3 // 4 >= floor) else b
+    from ..buckets import grow_bucket
+
+    return grow_bucket(n, floor)
 
 
 @partial(jax.jit, static_argnames=("n",))

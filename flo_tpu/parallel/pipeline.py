@@ -104,10 +104,9 @@ def shape_buckets_on() -> bool:
 
 def bucket_count(n: int, floor: int = 4) -> int:
     """{1, 1.5} x 2^k growth bucket (4, 6, 8, 12, 16, 24, 32, ...)."""
-    b = floor
-    while b < n:
-        b <<= 1
-    return b * 3 // 4 if (b * 3 // 4 >= n and b * 3 // 4 >= floor) else b
+    from ..buckets import grow_bucket
+
+    return grow_bucket(n, floor)
 
 
 def pad_batch(n: int, mesh: Mesh | None) -> int:

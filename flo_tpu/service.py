@@ -283,10 +283,17 @@ class _Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n) if n else b""
             u = urlparse(self.path)
-            with _CODEC_LOCK:
+            if u.path in ("/v1/version", "/demo", "/demo/", "/"):
+                # Pure-metadata endpoints never queue behind a bulk encode —
+                # a health probe must answer while the codec lock is held.
                 status, ctype, payload, extra = _handle(
                     u.path, parse_qs(u.query), body
                 )
+            else:
+                with _CODEC_LOCK:
+                    status, ctype, payload, extra = _handle(
+                        u.path, parse_qs(u.query), body
+                    )
             self._respond(status, ctype, payload, extra)
         except ServiceError as e:
             self._respond(

@@ -171,3 +171,20 @@ class TestDemoPage:
         # Root serves the same page for convenience.
         status2, body2 = _get(server_url, "/")
         assert status2 == 200 and body2 == body
+
+
+def test_version_and_demo_bypass_codec_lock(server_url):
+    """Health probes must answer while a bulk encode holds the codec lock
+    (the orchestrator would otherwise mark a busy-but-healthy instance dead)."""
+    import socket
+
+    with service._CODEC_LOCK:
+        old = socket.getdefaulttimeout()
+        socket.setdefaulttimeout(10)
+        try:
+            status, body = _get(server_url, "/v1/version")
+            assert status == 200 and json.loads(body)["version"] == flo_tpu.version()
+            status, body = _get(server_url, "/demo")
+            assert status == 200 and b"<html" in body.lower()
+        finally:
+            socket.setdefaulttimeout(old)

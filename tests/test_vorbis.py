@@ -116,3 +116,57 @@ class TestIngestIntegration:
         rate, ch, dur = audio_io.get_audio_info(data)
         assert rate == 8000 and ch == 2
         assert abs(dur - expected.shape[1] / 8000) < 0.2
+
+
+class TestOggCrcAndGranule:
+    def test_crc_matches_reference_loop(self):
+        """The zlib bit-reversal CRC must equal the per-byte spec oracle."""
+        rng = np.random.default_rng(9)
+        for n in (0, 1, 3, 27, 255, 1000, 4096):
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            assert vorbis.ogg_crc(blob) == vorbis._ogg_crc_ref(blob), n
+        assert vorbis.ogg_crc(b"OggS\x00\x02") == vorbis._ogg_crc_ref(b"OggS\x00\x02")
+
+    @staticmethod
+    def _patch_last_granule(data: bytes, new_granule: int) -> bytes:
+        """Rewrite the final page's granule position + CRC."""
+        import struct
+
+        pages = []
+        pos = 0
+        while pos < len(data):
+            assert data[pos : pos + 4] == b"OggS"
+            nsegs = data[pos + 26]
+            body = sum(data[pos + 27 : pos + 27 + nsegs])
+            end = pos + 27 + nsegs + body
+            pages.append((pos, end))
+            pos = end
+        lo, hi = pages[-1]
+        page = bytearray(data[lo:hi])
+        page[6:14] = struct.pack("<q", new_granule)
+        page[22:26] = b"\x00\x00\x00\x00"
+        crc = vorbis.ogg_crc(bytes(page))
+        page[22:26] = struct.pack("<I", crc)
+        return data[:lo] + bytes(page)
+
+    def test_final_page_granule_truncates_padding(self):
+        """libvorbis pads the last block and records the true length in the
+        final page's granule; decode must truncate to it (regression: the
+        granule was ignored entirely and padding leaked into the output)."""
+        data, expected = make_stream(frames=6)
+        full = vorbis.decode(data)
+        total = full.samples.size // full.channels
+        assert total == expected.shape[1]  # writer granule == decoded length
+        trim = 100
+        cut = self._patch_last_granule(data, total - trim)
+        d = vorbis.decode(cut)
+        got = d.samples.reshape(-1, d.channels).T.astype(np.float64)
+        assert got.shape[1] == total - trim
+        np.testing.assert_allclose(got, expected[:, : total - trim], atol=1e-10)
+
+    def test_granule_past_decoded_length_is_noop(self):
+        data, expected = make_stream(frames=4)
+        total = expected.shape[1]
+        over = self._patch_last_granule(data, total + 5000)
+        d = vorbis.decode(over)
+        assert d.samples.size // d.channels == total

@@ -302,9 +302,10 @@ def _ogg_page(serial, seq, htype, granule, segments) -> bytes:
     return bytes(page)
 
 
-def _paginate(packets, serial=0x1234) -> bytes:
+def _paginate(packets, n2: int, serial=0x1234) -> bytes:
     """Pack packets into pages, deliberately splitting large packets across
-    pages (continuation flag) to exercise reassembly."""
+    pages (continuation flag) to exercise reassembly. n2 = blocksize/2,
+    needed for spec-correct sample granule positions."""
     out = bytearray()
     seq = 0
 
@@ -333,16 +334,20 @@ def _paginate(packets, serial=0x1234) -> bytes:
     seq += 1
     out += _ogg_page(serial, seq, 0x01, -1, comment_segs[1:] + lacing_for(packets[2]))
     seq += 1
-    # Audio pages: two packets per page.
+    # Audio pages: two packets per page. Granule position = PCM samples
+    # decodable through the page's last completed packet: with a single
+    # blocksize each packet after the first laps out n/2 samples, so after
+    # j packets the stream position is (j-1)*n/2 (framing spec §granule).
     audio = packets[3:]
     i = 0
-    gran = 0
+    pkts_done = 0
     while i < len(audio):
         group = audio[i : i + 2]
         segs = []
         for pkt in group:
             segs += lacing_for(pkt)
-        gran += len(group)
+        pkts_done += len(group)
+        gran = max(0, pkts_done - 1) * n2
         last = i + 2 >= len(audio)
         out += _ogg_page(serial, seq, 0x04 if last else 0, gran, segs)
         seq += 1
@@ -408,7 +413,7 @@ def make_stream(
             expected_parts.append(emit)
         prev_tail = time[:, n2:].copy()
 
-    data = _paginate(packets)
+    data = _paginate(packets, n2)
     expected = (
         np.concatenate(expected_parts, axis=1)
         if expected_parts
