@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import ctypes
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -198,6 +199,32 @@ def parse_id3v2(data: bytes) -> tuple[AudioMetadata, int]:
         pos += hdr + fsize
         if ver_major >= 4 and (fflags & 0x02 or flags & 0x80):  # frame unsync
             fbody = fbody.replace(b"\xff\x00", b"\xff")
+        if not v22 and fflags:
+            # Frame format flags: strip the extra header bytes they add, skip
+            # frames we cannot interpret (encrypted; compressed that fails).
+            if ver_major >= 4:  # v2.4 %0h00kmnp
+                if fflags & 0x40:  # h: grouping identity byte
+                    fbody = fbody[1:]
+                if fflags & 0x04:  # m: encrypted — method byte, opaque body
+                    continue
+                if fflags & 0x01:  # p: 4-byte data length indicator
+                    fbody = fbody[4:]
+                if fflags & 0x08:  # k: zlib-compressed
+                    try:
+                        fbody = zlib.decompress(fbody)
+                    except zlib.error:
+                        continue
+            else:  # v2.3 %(compression)(encryption)(grouping)00000 00000000
+                if fflags & 0x0040:  # encrypted
+                    continue
+                if fflags & 0x0080:  # compressed: 4-byte size, then zlib
+                    grp = 1 if fflags & 0x0020 else 0
+                    try:
+                        fbody = zlib.decompress(fbody[4 + grp :])
+                    except zlib.error:
+                        continue
+                elif fflags & 0x0020:  # grouping identity byte
+                    fbody = fbody[1:]
         if fid.startswith(b"T") and fid != b"TXXX":
             texts[fid.decode("ascii", "replace")] = _decode_text(fbody)
         elif fid == b"COMM" and len(fbody) > 4:

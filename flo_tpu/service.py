@@ -16,6 +16,7 @@ Endpoints (POST body = binary unless noted):
   GET  /v1/version                      {"version": "1.2"}
   POST /v1/encode?sample_rate&channels[&level]       raw f32 LE -> flo
   POST /v1/encode_lossy?sample_rate&channels[&quality]   (quality u8 0-4)
+  POST /v1/encode_transform?sample_rate&channels[&quality]  (quality f32 0-1)
   POST /v1/encode_with_bitrate?sample_rate&channels&bitrate_kbps
   POST /v1/encode_file[?level|quality|bitrate_kbps]  WAV/FLAC/OGG/AIFF -> flo
   POST /v1/decode                       flo -> raw f32 LE
@@ -99,7 +100,12 @@ def _handle(path: str, query: dict, body: bytes):
             if default is None:
                 raise ServiceError(400, f"missing query parameter {name!r}")
             return default
-        return cast(vals[0])
+        try:
+            return cast(vals[0])
+        except (ValueError, TypeError):
+            raise ServiceError(
+                400, f"bad query parameter {name!r}: {vals[0]!r}"
+            ) from None
 
     if path == "/v1/version":
         return 200, "application/json", json.dumps({"version": flo_tpu.version()}).encode(), {}

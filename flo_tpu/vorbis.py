@@ -62,6 +62,8 @@ def float32_unpack(x: int) -> float:
 
 def lookup1_values(entries: int, dims: int) -> int:
     """Largest v with v**dims <= entries."""
+    if dims <= 0:
+        raise VorbisError("VQ lookup on a zero-dimension codebook")
     v = int(round(entries ** (1.0 / dims)))
     while (v + 1) ** dims <= entries:
         v += 1
@@ -356,8 +358,6 @@ class Codebook:
             hit = self._slow.get((i + 1, acc))
             if hit is not None:
                 return hit
-            if i + 1 <= _FAST_BITS:
-                continue
         raise VorbisError("invalid Huffman code")
 
     def decode_vector(self, br: _Bits) -> np.ndarray:
@@ -833,7 +833,9 @@ class _Setup:
         bs1 = br.read(4)
         self.blocksize0 = 1 << bs0
         self.blocksize1 = 1 << bs1
-        if not (64 <= self.blocksize0 <= 8192) or self.blocksize1 < self.blocksize0:
+        if not (64 <= self.blocksize0 <= 8192) or not (
+            self.blocksize0 <= self.blocksize1 <= 8192
+        ):
             raise VorbisError("invalid blocksizes")
         if br.read(1) != 1:
             raise VorbisError("identification framing bit missing")
@@ -885,8 +887,11 @@ def decode(data: bytes, verify_crc: bool = True) -> VorbisDecoded:
     for i, sig in ((0, 1), (1, 3), (2, 5)):
         if packets[i][:7] != bytes([sig]) + b"vorbis":
             raise VorbisError("bad Vorbis header packet")
-    st = _Setup(packets[0], packets[2])
-    vendor, comments = _parse_comments(packets[1])
+    try:
+        st = _Setup(packets[0], packets[2])
+        vendor, comments = _parse_comments(packets[1])
+    except EOFError as e:
+        raise VorbisError("truncated Vorbis header packet") from e
 
     ch = st.channels
     win_cache = {n: vorbis_window(n) for n in {st.blocksize0, st.blocksize1}}

@@ -231,3 +231,75 @@ class TestAnalysisWorkerErrors:
         clip = (0.1 * np.sin(np.arange(8000) * 0.01)).astype(np.float32)
         with pytest.raises(RuntimeError, match="analysis exploded"):
             batch.encode_many([clip], 4000, 2, analyze=True)
+
+
+class TestId3FrameFormatFlags:
+    """Frame format flags: grouping/DLI stripped, zlib decompressed,
+    encrypted skipped (id3v2.4-structure §4.1.2, id3v2.3 §3.3.1)."""
+
+    _v24_tag = staticmethod(TestId3EdgeCases._v24_tag)
+    _v24_frame = staticmethod(TestId3EdgeCases._v24_frame)
+
+    def test_v24_compressed_frame_with_dli(self):
+        import zlib as _z
+
+        plain = b"\x00Zipped Title"
+        comp = _z.compress(plain)
+        n = len(plain)
+        dli = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                     (n >> 7) & 0x7F, n & 0x7F])
+        tag = self._v24_tag(
+            self._v24_frame(b"TIT2", dli + comp, fflags=0x08 | 0x01)
+        )
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.title == "Zipped Title"
+
+    def test_v24_grouping_byte_stripped(self):
+        tag = self._v24_tag(
+            self._v24_frame(b"TPE1", b"\xaa\x00Band", fflags=0x40)
+        )
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.artist == "Band"
+
+    def test_v24_encrypted_frame_skipped(self):
+        tag = self._v24_tag(
+            self._v24_frame(b"TIT2", b"\x01\x00garbage", fflags=0x04)
+            + self._v24_frame(b"TPE1", b"\x00Still Here")
+        )
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.title is None and md.artist == "Still Here"
+
+    @staticmethod
+    def _v23_frame(fid: bytes, body: bytes, fflags: int = 0) -> bytes:
+        import struct as _s
+
+        return fid + _s.pack(">I", len(body)) + _s.pack(">H", fflags) + body
+
+    def test_v23_compressed_frame(self):
+        import struct as _s
+        import zlib as _z
+
+        plain = b"\x00Old Zip"
+        frame = self._v23_frame(
+            b"TIT2", _s.pack(">I", len(plain)) + _z.compress(plain),
+            fflags=0x0080,
+        ) + self._v23_frame(b"TPE1", b"\x00Plain Band")
+        sz = len(frame)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        tag = b"ID3\x03\x00\x00" + ss + frame
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.title == "Old Zip" and md.artist == "Plain Band"
+
+    def test_v23_corrupt_compressed_frame_skipped(self):
+        import struct as _s
+
+        frame = self._v23_frame(
+            b"TIT2", _s.pack(">I", 8) + b"notzlib!", fflags=0x0080
+        ) + self._v23_frame(b"TALB", b"\x00Album OK")
+        sz = len(frame)
+        ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                    (sz >> 7) & 0x7F, sz & 0x7F])
+        tag = b"ID3\x03\x00\x00" + ss + frame
+        md, _ = mp3.parse_id3v2(tag + b"\xff\xfb")
+        assert md.title is None and md.album == "Album OK"

@@ -188,3 +188,42 @@ def test_version_and_demo_bypass_codec_lock(server_url):
             assert status == 200 and b"<html" in body.lower()
         finally:
             socket.setdefaulttimeout(old)
+
+
+class TestRequestValidation:
+    def test_bad_query_parameter_is_400_not_500(self, server_url):
+        """Malformed client input (uncastable query param) is the client's
+        fault: 400, never a 500 that trips load-balancer retries/alerts."""
+        samples = sine(440, 8000, 0.2)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(
+                server_url,
+                "/v1/encode?sample_rate=abc&channels=2",
+                samples.tobytes(),
+            )
+        assert e.value.code == 400
+        assert "sample_rate" in json.loads(e.value.read())["error"]
+
+    def test_bad_float_quality_is_400(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(
+                server_url,
+                "/v1/encode_transform?sample_rate=8000&channels=1&quality=hi",
+                sine(440, 8000, 0.2).tobytes(),
+            )
+        assert e.value.code == 400
+
+    def test_encode_transform_roundtrip(self, server_url):
+        samples = sine(440, 8000, 0.5)
+        status, _, data = _post(
+            server_url,
+            "/v1/encode_transform?sample_rate=8000&channels=1&quality=0.7",
+            samples.tobytes(),
+        )
+        assert status == 200 and data[:4] == b"FLO!"
+        status, headers, raw = _post(server_url, "/v1/decode", data)
+        assert status == 200
+        assert int(headers["X-Sample-Rate"]) == 8000
+        got = np.frombuffer(raw, dtype="<f4")
+        # Lossy decode length is padded up to the hop geometry.
+        assert got.size >= samples.size

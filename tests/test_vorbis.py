@@ -170,3 +170,58 @@ class TestOggCrcAndGranule:
         over = self._patch_last_granule(data, total + 5000)
         d = vorbis.decode(over)
         assert d.samples.size // d.channels == total
+
+
+class TestMalformedHeaders:
+    """Corrupt/spec-invalid headers must raise VorbisError (the documented
+    UnsupportedFormatError contract), never bare EOFError/ZeroDivisionError."""
+
+    def test_truncated_setup_packet_raises_vorbis_error(self):
+        from tests.vorbis_writer import (
+            _Config, _comment_packet, _id_packet, _paginate, _setup_packet,
+        )
+
+        cfg = _Config(n=512, channels=1, rate=8000, coupled=False)
+        setup = _setup_packet(cfg)
+        packets = [
+            _id_packet(cfg),
+            _comment_packet({"TITLE": "t"}),
+            setup[: len(setup) // 2],  # cut mid-codebook
+        ]
+        data = _paginate(packets, 256)
+        with pytest.raises(vorbis.VorbisError):
+            vorbis.decode(data)
+
+    def test_truncated_comment_packet_raises_vorbis_error(self):
+        from tests.vorbis_writer import (
+            _Config, _comment_packet, _id_packet, _paginate, _setup_packet,
+        )
+
+        cfg = _Config(n=512, channels=1, rate=8000, coupled=False)
+        comment = bytearray(_comment_packet({"TITLE": "a comment body"}))
+        # Lie in the vendor-length field (bytes 7..11, LE u32) so the parser
+        # reads far past the end of the (size-unchanged) packet.
+        comment[7:11] = (0x00FFFFFF).to_bytes(4, "little")
+        packets = [_id_packet(cfg), bytes(comment), _setup_packet(cfg)]
+        data = _paginate(packets, 256)
+        with pytest.raises(vorbis.VorbisError):
+            vorbis.decode(data)
+
+    def test_blocksize1_above_8192_rejected(self):
+        from tests.vorbis_writer import (
+            _Config, _comment_packet, _id_packet, _paginate, _setup_packet,
+        )
+
+        cfg = _Config(n=512, channels=1, rate=8000, coupled=False)
+        ident = bytearray(_id_packet(cfg))
+        # Byte 28 packs bs0 (low nibble) / bs1 (high nibble), LSB-first:
+        # keep bs0=2^8=256, claim bs1=2^14=16384 (> the spec max 8192).
+        ident[28] = 8 | (14 << 4)
+        packets = [bytes(ident), _comment_packet({}), _setup_packet(cfg)]
+        data = _paginate(packets, 256)
+        with pytest.raises(vorbis.VorbisError, match="blocksize"):
+            vorbis.decode(data)
+
+    def test_lookup1_values_zero_dims_rejected(self):
+        with pytest.raises(vorbis.VorbisError):
+            vorbis.lookup1_values(16, 0)
