@@ -33,6 +33,28 @@ Endpoints (POST body = binary unless noted):
   POST /v1/seek?time_ms=N               flo -> SeekResult JSON
   POST /v1/analysis[?waveform=1][&spectrum=1]  flo -> analysis JSON
 
+Streaming sessions (the WasmStreamingDecoder/WasmStreamingEncoder analog,
+libflo/src/lib.rs:544-812 — construct once, push bytes/samples as they
+arrive, pull frames):
+
+  POST /v1/stream/decoder               -> {"session": id}
+  POST /v1/stream/encoder?sample_rate&channels[&bit_depth][&level]
+                                        -> {"session": id}
+  GET  /v1/stream/<id>/state            state/info/counters JSON (both kinds)
+  POST /v1/stream/<id>/feed             decoder <- flo bytes; state JSON
+  POST /v1/stream/<id>/next_frame       decoder: raw f32 LE samples for one
+                                        frame (204 if none ready yet);
+                                        encoder: encoded frame bytes with
+                                        X-Frame-Index/X-Timestamp-Ms/X-Samples
+  POST /v1/stream/<id>/decode_available decoder: all ready samples, f32 LE
+  POST /v1/stream/<id>/reset            decoder: back to initial state
+  POST /v1/stream/<id>/push             encoder <- raw f32 LE; pending JSON
+  POST /v1/stream/<id>/flush            encoder: encode + return the partial
+                                        tail frame (204 if no samples buffered)
+  POST /v1/stream/<id>/finalize         encoder: body = optional msgpack
+                                        metadata -> complete flo; ends session
+  POST /v1/stream/<id>/close            drop the session
+
 Codec calls are serialized behind one lock (a remote-attached accelerator
 link is single-client); the HTTP layer itself is stdlib ThreadingHTTPServer,
 so health probes and small requests never queue behind a bulk encode.
@@ -50,6 +72,12 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 _CODEC_LOCK = threading.Lock()
+
+#: Streaming sessions (the WasmStreamingDecoder/Encoder analog,
+#: libflo/src/lib.rs:544-812): id -> StreamingDecoder | StreamingEncoder.
+#: Mutated only under _CODEC_LOCK (every /v1/stream request takes it).
+_SESSIONS: dict = {}
+_MAX_SESSIONS = 64
 
 
 class ServiceError(Exception):
@@ -86,6 +114,123 @@ def _jsonable(v):
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
     return str(v)
+
+
+def _get_session(sid: str):
+    obj = _SESSIONS.get(sid)
+    if obj is None:
+        raise ServiceError(404, f"unknown stream session {sid!r}")
+    return obj
+
+
+def _decoder_state_json(dec) -> bytes:
+    info = dec.info()
+    return json.dumps({
+        "kind": "decoder",
+        "state": dec.state.value,
+        "info": None if info is None else vars(info),
+        "buffered_bytes": dec.buffered_bytes(),
+        "frames_available": dec.frames_available(),
+        "current_frame_index": dec.current_frame_index(),
+    }).encode()
+
+
+def _encoder_state_json(enc) -> bytes:
+    return json.dumps({
+        "kind": "encoder",
+        "state": "ready",
+        "pending_samples": enc.pending_samples(),
+        "pending_frames": enc.pending_frames(),
+    }).encode()
+
+
+def _handle_stream(path: str, query: dict, body: bytes, q1):
+    """Session-based streaming endpoints (WASM streaming API analog)."""
+    import uuid
+
+    from .streaming import StreamingDecoder, StreamingEncoder
+
+    parts = path.split("/")  # ["", "v1", "stream", <id-or-kind>, [op]]
+    if len(parts) == 4 and parts[3] in ("decoder", "encoder"):
+        if len(_SESSIONS) >= _MAX_SESSIONS:
+            raise ServiceError(429, "too many open stream sessions")
+        if parts[3] == "decoder":
+            obj = StreamingDecoder()
+        else:
+            obj = StreamingEncoder(
+                q1("sample_rate"), q1("channels"), q1("bit_depth", 16)
+            ).with_compression(q1("level", 5))
+        sid = uuid.uuid4().hex[:16]
+        _SESSIONS[sid] = obj
+        return 200, "application/json", json.dumps(
+            {"session": sid, "kind": parts[3]}
+        ).encode(), {}
+
+    if len(parts) != 5:
+        raise ServiceError(404, f"unknown endpoint {path}")
+    sid, op = parts[3], parts[4]
+
+    if op == "close":
+        _SESSIONS.pop(sid, None)
+        return 200, "application/json", b'{"closed": true}', {}
+
+    obj = _get_session(sid)
+    is_dec = isinstance(obj, StreamingDecoder)
+
+    if op == "state":
+        payload = _decoder_state_json(obj) if is_dec else _encoder_state_json(obj)
+        return 200, "application/json", payload, {}
+
+    if is_dec:
+        if op == "feed":
+            try:
+                obj.feed(body)
+            except ValueError as e:  # feeding a terminally-errored decoder
+                raise ServiceError(409, str(e)) from None
+            return 200, "application/json", _decoder_state_json(obj), {}
+        if op == "next_frame":
+            samples = obj.next_frame()
+            if samples is None:
+                return 204, "application/octet-stream", b"", {}
+            return 200, "application/octet-stream", np.asarray(
+                samples, "<f4"
+            ).tobytes(), {"X-Frame-Index": str(obj.current_frame_index() - 1)}
+        if op == "decode_available":
+            samples = obj.decode_available()
+            return 200, "application/octet-stream", np.asarray(
+                samples, "<f4"
+            ).tobytes(), {}
+        if op == "reset":
+            obj.reset()
+            return 200, "application/json", _decoder_state_json(obj), {}
+        raise ServiceError(400, f"decoder session has no op {op!r}")
+
+    if op == "push":
+        obj.push_samples(np.frombuffer(body, dtype="<f4"))
+        return 200, "application/json", _encoder_state_json(obj), {}
+    if op == "next_frame":
+        frame = obj.next_frame()
+        if frame is None:
+            return 204, "application/octet-stream", b"", {}
+        return 200, "application/octet-stream", bytes(frame.data), {
+            "X-Frame-Index": str(frame.index),
+            "X-Timestamp-Ms": str(frame.timestamp_ms),
+            "X-Samples": str(frame.samples),
+        }
+    if op == "flush":
+        frame = obj.flush()
+        if frame is None:
+            return 204, "application/octet-stream", b"", {}
+        return 200, "application/octet-stream", bytes(frame.data), {
+            "X-Frame-Index": str(frame.index),
+            "X-Timestamp-Ms": str(frame.timestamp_ms),
+            "X-Samples": str(frame.samples),
+        }
+    if op == "finalize":
+        data = obj.finalize(body)
+        _SESSIONS.pop(sid, None)
+        return 200, "application/octet-stream", data, {}
+    raise ServiceError(400, f"encoder session has no op {op!r}")
 
 
 def _handle(path: str, query: dict, body: bytes):
@@ -258,6 +403,9 @@ def _handle(path: str, query: dict, body: bytes):
                 "avg_loudness": fp.avg_loudness,
             }
         return 200, "application/json", json.dumps(out).encode(), {}
+
+    if path.startswith("/v1/stream/"):
+        return _handle_stream(path, query, body, q1)
 
     raise ServiceError(404, f"unknown endpoint {path}")
 

@@ -227,3 +227,118 @@ class TestRequestValidation:
         got = np.frombuffer(raw, dtype="<f4")
         # Lossy decode length is padded up to the hop geometry.
         assert got.size >= samples.size
+
+
+class TestStreamingSessions:
+    """Session endpoints mirroring WasmStreamingDecoder/Encoder
+    (libflo/src/lib.rs:544-812)."""
+
+    def test_decoder_session_chunked_feed(self, server_url):
+        s = sine(330, 4000, 1.6, channels=2)
+        flo = flo_tpu.encode(s, 4000, 2, analyze=False)
+
+        _, _, body = _post(server_url, "/v1/stream/decoder")
+        sid = json.loads(body)["session"]
+
+        _, body0 = _get(server_url, f"/v1/stream/{sid}/state")
+        assert json.loads(body0)["state"] == "waiting_for_header"
+
+        # Network-chunk simulation: feed in small slices, drain frames
+        # as they become available (SURVEY §4 streaming pattern).
+        got = []
+        for i in range(0, len(flo), 997):
+            _, _, st = _post(
+                server_url, f"/v1/stream/{sid}/feed", flo[i : i + 997]
+            )
+            while True:
+                status, headers, raw = _post(
+                    server_url, f"/v1/stream/{sid}/next_frame"
+                )
+                if status == 204:
+                    break
+                got.append(np.frombuffer(raw, "<f4"))
+        state = json.loads(st)
+        assert state["state"] in ("ready", "finished")
+        assert state["info"]["sample_rate"] == 4000
+
+        out = np.concatenate(got)
+        ref = flo_tpu.decode(flo)
+        np.testing.assert_array_equal(out, np.asarray(ref, np.float32))
+
+        _, _, body = _post(server_url, f"/v1/stream/{sid}/close")
+        assert json.loads(body)["closed"] is True
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url, f"/v1/stream/{sid}/feed", b"x")
+        assert e.value.code == 404
+
+    def test_decoder_session_error_state_and_reset(self, server_url):
+        _, _, body = _post(server_url, "/v1/stream/decoder")
+        sid = json.loads(body)["session"]
+        _, _, st = _post(server_url, f"/v1/stream/{sid}/feed", b"NOPE" + b"\0" * 80)
+        assert json.loads(st)["state"] == "error"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url, f"/v1/stream/{sid}/feed", b"more")
+        assert e.value.code == 409
+        _, _, st = _post(server_url, f"/v1/stream/{sid}/reset")
+        assert json.loads(st)["state"] == "waiting_for_header"
+        _post(server_url, f"/v1/stream/{sid}/close")
+
+    def test_encoder_session_finalize(self, server_url):
+        s = sine(220, 2000, 2.3)  # 2 full frames + a partial tail
+        _, _, body = _post(
+            server_url, "/v1/stream/encoder?sample_rate=2000&channels=1&level=5"
+        )
+        sid = json.loads(body)["session"]
+        for i in range(0, len(s), 1500):
+            _, _, st = _post(
+                server_url, f"/v1/stream/{sid}/push",
+                s[i : i + 1500].astype("<f4").tobytes(),
+            )
+        assert json.loads(st)["pending_frames"] == 2
+        status, _, flo = _post(server_url, f"/v1/stream/{sid}/finalize")
+        assert status == 200 and flo[:4] == b"FLO!"
+        out = flo_tpu.decode(flo)
+        assert np.abs(np.asarray(out, np.float32) - s).max() <= 1 / 32768 + 1e-6
+        # Session consumed by finalize.
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server_url, f"/v1/stream/{sid}/state")
+        assert e.value.code == 404
+
+    def test_encoder_session_drain_and_flush(self, server_url):
+        s = sine(180, 2000, 1.4)
+        _, _, body = _post(
+            server_url, "/v1/stream/encoder?sample_rate=2000&channels=1"
+        )
+        sid = json.loads(body)["session"]
+        _post(server_url, f"/v1/stream/{sid}/push", s.astype("<f4").tobytes())
+        status, headers, frame0 = _post(server_url, f"/v1/stream/{sid}/next_frame")
+        assert status == 200 and headers["X-Frame-Index"] == "0"
+        assert int(headers["X-Samples"]) == 2000
+        status, _, _ = _post(server_url, f"/v1/stream/{sid}/next_frame")
+        assert status == 204
+        status, headers, tail = _post(server_url, f"/v1/stream/{sid}/flush")
+        assert status == 200 and int(headers["X-Samples"]) == 800
+        assert len(tail) > 0
+        # Second flush: nothing buffered.
+        status, _, _ = _post(server_url, f"/v1/stream/{sid}/flush")
+        assert status == 204
+        _post(server_url, f"/v1/stream/{sid}/close")
+
+    def test_session_cap(self, server_url):
+        opened = []
+        try:
+            service._MAX_SESSIONS  # document the knob exists
+            old_sessions = dict(service._SESSIONS)
+            try:
+                service._SESSIONS.clear()
+                for _ in range(service._MAX_SESSIONS):
+                    _, _, body = _post(server_url, "/v1/stream/decoder")
+                    opened.append(json.loads(body)["session"])
+                with pytest.raises(urllib.error.HTTPError) as e:
+                    _post(server_url, "/v1/stream/decoder")
+                assert e.value.code == 429
+            finally:
+                service._SESSIONS.clear()
+                service._SESSIONS.update(old_sessions)
+        finally:
+            pass
