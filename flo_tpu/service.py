@@ -65,6 +65,7 @@ from __future__ import annotations
 import json
 import struct
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -74,10 +75,14 @@ import numpy as np
 _CODEC_LOCK = threading.Lock()
 
 #: Streaming sessions (the WasmStreamingDecoder/Encoder analog,
-#: libflo/src/lib.rs:544-812): id -> StreamingDecoder | StreamingEncoder.
-#: Mutated only under _CODEC_LOCK (every /v1/stream request takes it).
+#: libflo/src/lib.rs:544-812): id -> [StreamingDecoder | StreamingEncoder,
+#: last-touch monotonic time]. Mutated only under _CODEC_LOCK (every
+#: /v1/stream request takes it). Sessions idle past the TTL are evicted
+#: when the table is full — an abandoned client must not wedge the
+#: endpoint at the cap forever.
 _SESSIONS: dict = {}
 _MAX_SESSIONS = 64
+_SESSION_IDLE_TTL_S = 15 * 60
 
 
 class ServiceError(Exception):
@@ -117,10 +122,17 @@ def _jsonable(v):
 
 
 def _get_session(sid: str):
-    obj = _SESSIONS.get(sid)
-    if obj is None:
+    entry = _SESSIONS.get(sid)
+    if entry is None:
         raise ServiceError(404, f"unknown stream session {sid!r}")
-    return obj
+    entry[1] = time.monotonic()
+    return entry[0]
+
+
+def _evict_idle_sessions() -> None:
+    cutoff = time.monotonic() - _SESSION_IDLE_TTL_S
+    for sid in [s for s, (_, t) in _SESSIONS.items() if t < cutoff]:
+        del _SESSIONS[sid]
 
 
 def _decoder_state_json(dec) -> bytes:
@@ -153,6 +165,8 @@ def _handle_stream(path: str, query: dict, body: bytes, q1):
     parts = path.split("/")  # ["", "v1", "stream", <id-or-kind>, [op]]
     if len(parts) == 4 and parts[3] in ("decoder", "encoder"):
         if len(_SESSIONS) >= _MAX_SESSIONS:
+            _evict_idle_sessions()
+        if len(_SESSIONS) >= _MAX_SESSIONS:
             raise ServiceError(429, "too many open stream sessions")
         if parts[3] == "decoder":
             obj = StreamingDecoder()
@@ -161,7 +175,7 @@ def _handle_stream(path: str, query: dict, body: bytes, q1):
                 q1("sample_rate"), q1("channels"), q1("bit_depth", 16)
             ).with_compression(q1("level", 5))
         sid = uuid.uuid4().hex[:16]
-        _SESSIONS[sid] = obj
+        _SESSIONS[sid] = [obj, time.monotonic()]
         return 200, "application/json", json.dumps(
             {"session": sid, "kind": parts[3]}
         ).encode(), {}

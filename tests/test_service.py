@@ -342,3 +342,22 @@ class TestStreamingSessions:
                 service._SESSIONS.update(old_sessions)
         finally:
             pass
+
+    def test_idle_sessions_evicted_at_cap(self, server_url):
+        """An abandoned client must not wedge the endpoint at the cap: idle
+        sessions are evicted when a create finds the table full."""
+        old_sessions = dict(service._SESSIONS)
+        try:
+            service._SESSIONS.clear()
+            _, _, body = _post(server_url, "/v1/stream/decoder")
+            stale = json.loads(body)["session"]
+            # Age it past the TTL, fill the rest of the table fresh.
+            service._SESSIONS[stale][1] -= service._SESSION_IDLE_TTL_S + 1
+            for _ in range(service._MAX_SESSIONS - 1):
+                _post(server_url, "/v1/stream/decoder")
+            _, _, body = _post(server_url, "/v1/stream/decoder")  # evicts stale
+            assert "session" in json.loads(body)
+            assert stale not in service._SESSIONS
+        finally:
+            service._SESSIONS.clear()
+            service._SESSIONS.update(old_sessions)
