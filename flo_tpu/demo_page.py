@@ -7,6 +7,9 @@ endpoints instead of a WASM module — same user-visible feature set:
 encode an uploaded audio file (lossless level / lossy preset / target
 bitrate), inspect info + metadata + EBU R128 loudness, render the
 waveform, play the decoded result, and download the .flo / .wav bytes.
+The streaming section mirrors Demo/js/streaming.js: the encoded file is
+fed to a `/v1/stream/decoder` session in small network-sized chunks and
+each frame plays through Web Audio as soon as it decodes.
 
 Kept in one self-contained HTML string: no external assets, no CDN, so
 `flo serve` works in an air-gapped deployment.
@@ -72,6 +75,16 @@ PAGE = r"""<!doctype html>
 <div class="row" id="stats"></div>
 <canvas id="wave" width="1720" height="192"></canvas>
 <audio id="player" controls style="width:100%"></audio>
+
+<h2>Streaming playback</h2>
+<p>Feeds the encoded file to a server-side streaming-decoder session in
+small chunks (simulated network delivery) and plays each frame as soon as
+its bytes arrive — the push-based API the reference demo exercises.</p>
+<div class="row">
+  <button id="streamgo" disabled>Stream &amp; play</button>
+  <button id="streamstop" disabled>Stop</button>
+  <span class="stat" id="streamstat">idle</span>
+</div>
 
 <h2>Metadata</h2>
 <pre id="meta">—</pre>
@@ -144,7 +157,7 @@ $("go").onclick = async () => {
     if (wavUrl) URL.revokeObjectURL(wavUrl);
     wavUrl = URL.createObjectURL(new Blob([wav], {type: "audio/wav"}));
     $("player").src = wavUrl;
-    $("dlflo").disabled = $("dlwav").disabled = false;
+    $("dlflo").disabled = $("dlwav").disabled = $("streamgo").disabled = false;
   } catch (e) {
     $("err").textContent = String(e);
   } finally {
@@ -161,6 +174,61 @@ $("dlflo").onclick = () => {
   download(u, "encoded.flo"); setTimeout(() => URL.revokeObjectURL(u), 5000);
 };
 $("dlwav").onclick = () => download(wavUrl, "decoded.wav");
+
+// ---- Streaming playback (Demo/js/streaming.js analog) ----
+let streamAbort = false;
+$("streamstop").onclick = () => { streamAbort = true; };
+$("streamgo").onclick = async () => {
+  const CHUNK = 16384;
+  streamAbort = false;
+  $("streamgo").disabled = true; $("streamstop").disabled = false;
+  $("err").textContent = "";
+  let sid = null, ctx = null;
+  try {
+    sid = (await api("/v1/stream/decoder", null, true)).session;
+    let info = null, playT = 0, frames = 0;
+    for (let off = 0; off < floBytes.length && !streamAbort; off += CHUNK) {
+      const st = await api(`/v1/stream/${sid}/feed`,
+                           floBytes.slice(off, off + CHUNK), true);
+      if (!info && st.info) {
+        info = st.info;
+        ctx = new (window.AudioContext || window.webkitAudioContext)(
+          {sampleRate: info.sample_rate});
+        playT = ctx.currentTime + 0.15;  // small jitter buffer
+      }
+      for (;;) {  // drain every frame whose bytes have now arrived
+        const r = await fetch(`/v1/stream/${sid}/next_frame`, {method: "POST"});
+        if (r.status === 204) break;
+        if (!r.ok) throw new Error("next_frame: " + r.status);
+        const inter = new Float32Array(await r.arrayBuffer());
+        const ch = info.channels, n = inter.length / ch;
+        const buf = ctx.createBuffer(ch, n, info.sample_rate);
+        for (let c = 0; c < ch; c++) {
+          const d = buf.getChannelData(c);
+          for (let i = 0; i < n; i++) d[i] = inter[i * ch + c];
+        }
+        const src = ctx.createBufferSource();
+        src.buffer = buf; src.connect(ctx.destination);
+        playT = Math.max(playT, ctx.currentTime);
+        src.start(playT); playT += n / info.sample_rate;
+        frames++;
+        $("streamstat").textContent =
+          `fed ${Math.min(off + CHUNK, floBytes.length)} / ${floBytes.length} B, ` +
+          `played ${frames} frames`;
+      }
+    }
+    $("streamstat").textContent += streamAbort ? " (stopped)" : " (done)";
+    // Let the scheduled tail play out before closing the context.
+    if (ctx && !streamAbort)
+      await new Promise(res => setTimeout(res, 1000 * Math.max(0, playT - ctx.currentTime)));
+  } catch (e) {
+    $("err").textContent = String(e);
+  } finally {
+    if (ctx) ctx.close();
+    if (sid) api(`/v1/stream/${sid}/close`).catch(() => {});
+    $("streamgo").disabled = false; $("streamstop").disabled = true;
+  }
+};
 </script>
 </body>
 </html>
