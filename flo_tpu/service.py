@@ -31,6 +31,7 @@ Endpoints (POST body = binary unless noted):
                                         -> flo (zero-copy splice)
   POST /v1/metadata/strip               flo -> flo
   POST /v1/seek?time_ms=N               flo -> SeekResult JSON
+  POST /v1/toc                          flo -> TOC entries JSON
   POST /v1/analysis[?waveform=1][&spectrum=1]  flo -> analysis JSON
 
 Streaming sessions (the WasmStreamingDecoder/WasmStreamingEncoder analog,
@@ -385,6 +386,12 @@ def _handle(path: str, query: dict, body: bytes):
     if path == "/v1/seek":
         res = seeking.seek_to_time(body, q1("time_ms"))
         return 200, "application/json", json.dumps(vars(res)).encode(), {}
+
+    if path == "/v1/toc":
+        toc = seeking.get_toc(body)
+        return 200, "application/json", json.dumps(
+            [vars(e) for e in toc]
+        ).encode(), {}
 
     if path == "/v1/analysis":
         from .core import analysis as _an

@@ -361,3 +361,16 @@ class TestStreamingSessions:
         finally:
             service._SESSIONS.clear()
             service._SESSIONS.update(old_sessions)
+
+
+def test_toc_endpoint(server_url):
+    """/v1/toc returns the seek table (the get_toc JS export analog)."""
+    s = sine(100, 2000, 3.0)
+    flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+    _, _, body = _post(server_url, "/v1/toc", flo)
+    toc = json.loads(body)
+    assert [e["frame_index"] for e in toc] == [0, 1, 2]
+    assert [e["timestamp_ms"] for e in toc] == [0, 1000, 2000]
+    assert all(e["frame_size"] > 0 for e in toc)
+    # Offsets are cumulative within DATA.
+    assert toc[1]["byte_offset"] == toc[0]["byte_offset"] + toc[0]["frame_size"]
