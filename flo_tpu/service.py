@@ -24,7 +24,8 @@ Endpoints (POST body = binary unless noted):
   POST /v1/decode_wav                   flo -> 32-bit float WAV
   POST /v1/info                         flo -> AudioInfo JSON
   POST /v1/validate                     flo -> {"valid": bool}
-  POST /v1/metadata                     flo -> metadata JSON
+  POST /v1/metadata[?raw=1]             flo -> metadata JSON (raw=1: msgpack)
+  POST /v1/metadata/create              metadata JSON -> msgpack bytes
   POST /v1/cover_art                    flo -> image bytes (mime in header)
   POST /v1/synced_lyrics                flo -> lyrics JSON
   POST /v1/metadata/update              [u32 LE flo_len][flo][metadata JSON]
@@ -32,6 +33,7 @@ Endpoints (POST body = binary unless noted):
   POST /v1/metadata/strip               flo -> flo
   POST /v1/seek?time_ms=N               flo -> SeekResult JSON
   POST /v1/toc                          flo -> TOC entries JSON
+  POST /v1/decode_frame?frame_index=N   flo -> one frame's f32 LE samples
   POST /v1/analysis[?waveform=1][&spectrum=1]  flo -> analysis JSON
 
 Streaming sessions (the WasmStreamingDecoder/WasmStreamingEncoder analog,
@@ -338,9 +340,24 @@ def _handle(path: str, query: dict, body: bytes):
         ).encode(), {}
 
     if path == "/v1/metadata":
+        if q1("raw", 0):  # get_metadata_bytes (lib.rs:1145-1168)
+            raw = flo_tpu.get_metadata_bytes(body)
+            return 200, "application/msgpack", raw or b"", {}
         meta = reflo.get_metadata(body)
         out = _meta_to_json(meta) if meta is not None else {}
         return 200, "application/json", json.dumps(out).encode(), {}
+
+    if path == "/v1/metadata/create":
+        # create_metadata_from_object (lib.rs:842-854): JSON object ->
+        # msgpack FloMetadata bytes (feed to encode or stream finalize).
+        from .core.metadata import FloMetadata
+
+        try:
+            obj = json.loads(body.decode() or "{}")
+            packed = FloMetadata.from_obj(obj).to_msgpack()
+        except Exception as e:
+            raise ServiceError(400, f"bad metadata object: {e}") from None
+        return 200, "application/msgpack", packed, {}
 
     if path == "/v1/cover_art":
         meta = reflo.get_metadata(body)
@@ -373,9 +390,16 @@ def _handle(path: str, query: dict, body: bytes):
             meta = flo_tpu.get_metadata(flo_bytes)
         except Exception:
             meta = FloMetadata()
-        for k, v in patch.items():
+        # Route the patch through from_obj so nested structures (pictures,
+        # section_markers, ...) become their dataclasses, not raw dicts that
+        # would break re-serialization.
+        try:
+            patch_meta = FloMetadata.from_obj(patch)
+        except Exception as e:
+            raise ServiceError(400, f"bad metadata patch: {e}") from None
+        for k in patch:
             if hasattr(meta, k):
-                setattr(meta, k, v)
+                setattr(meta, k, getattr(patch_meta, k))
         return 200, "application/octet-stream", flo_tpu.update_metadata(
             flo_bytes, meta
         ), {}
@@ -392,6 +416,13 @@ def _handle(path: str, query: dict, body: bytes):
         return 200, "application/json", json.dumps(
             [vars(e) for e in toc]
         ).encode(), {}
+
+    if path == "/v1/decode_frame":
+        # decode_frame_at (lib.rs:508-518): one frame's samples by index.
+        samples = seeking.decode_frame_at(body, q1("frame_index"))
+        return 200, "application/octet-stream", np.asarray(
+            samples, "<f4"
+        ).tobytes(), {}
 
     if path == "/v1/analysis":
         from .core import analysis as _an

@@ -374,3 +374,68 @@ def test_toc_endpoint(server_url):
     assert all(e["frame_size"] > 0 for e in toc)
     # Offsets are cumulative within DATA.
     assert toc[1]["byte_offset"] == toc[0]["byte_offset"] + toc[0]["frame_size"]
+
+
+class TestSeekAndMetadataEndpoints:
+    def test_decode_frame(self, server_url):
+        """/v1/decode_frame == the matching slice of a full decode."""
+        s = sine(150, 2000, 3.0)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+        full = np.asarray(flo_tpu.decode(flo), np.float32)
+        _, _, raw = _post(server_url, "/v1/decode_frame?frame_index=1", flo)
+        frame = np.frombuffer(raw, "<f4")
+        np.testing.assert_array_equal(frame, full[2000:4000])
+
+    def test_metadata_create_and_raw(self, server_url):
+        """create_metadata_from_object + get_metadata_bytes analogs:
+        build msgpack from JSON, finalize a stream with it, read it back."""
+        obj = {
+            "title": "Session Take",
+            "artist": "Us",
+            "bpm": 128.0,
+            "section_markers": [
+                {"timestamp_ms": 0, "section_type": "intro", "label": None},
+                {"timestamp_ms": 30000, "section_type": "chorus", "label": "hook"},
+            ],
+        }
+        _, headers, packed = _post(
+            server_url, "/v1/metadata/create", json.dumps(obj).encode()
+        )
+        assert headers["Content-Type"] == "application/msgpack"
+        from flo_tpu.core.metadata import FloMetadata
+
+        meta = FloMetadata.from_msgpack(packed)
+        assert meta.title == "Session Take"
+        assert meta.section_markers[1].label == "hook"
+
+        # Feed it to a streaming-encoder finalize.
+        s = sine(200, 2000, 1.0)
+        _, _, body = _post(
+            server_url, "/v1/stream/encoder?sample_rate=2000&channels=1"
+        )
+        sid = json.loads(body)["session"]
+        _post(server_url, f"/v1/stream/{sid}/push", s.astype("<f4").tobytes())
+        _, _, flo = _post(server_url, f"/v1/stream/{sid}/finalize", packed)
+        got = flo_tpu.get_metadata(flo)
+        assert got.title == "Session Take" and len(got.section_markers) == 2
+
+        # Raw metadata read-back is byte-identical to what was embedded.
+        _, _, raw = _post(server_url, "/v1/metadata?raw=1", flo)
+        assert raw == packed
+
+    def test_metadata_update_nested_structures(self, server_url):
+        """Nested patch fields must become dataclasses, not raw dicts
+        (raw setattr used to 500 on re-serialization)."""
+        s = sine(100, 2000, 0.5)
+        flo = flo_tpu.encode(s, 2000, 1, analyze=False)
+        patch = json.dumps({
+            "title": "T",
+            "section_markers": [
+                {"timestamp_ms": 0, "section_type": "intro", "label": None}
+            ],
+        }).encode()
+        body = struct.pack("<I", len(flo)) + flo + patch
+        _, _, updated = _post(server_url, "/v1/metadata/update", body)
+        meta = flo_tpu.get_metadata(updated)
+        assert meta.title == "T"
+        assert meta.section_markers[0].section_type.value == "intro"
