@@ -35,6 +35,9 @@ Endpoints (POST body = binary unless noted):
   POST /v1/toc                          flo -> TOC entries JSON
   POST /v1/decode_frame?frame_index=N   flo -> one frame's f32 LE samples
   POST /v1/analysis[?waveform=1][&spectrum=1]  flo -> analysis JSON
+  POST /v1/similarity                   [u32 LE len_a][flo_a][flo_b]
+                                        -> {"similarity": 0..1}
+  POST /v1/dominant_frequencies[?num=N] flo -> per-frame Hz lists JSON
 
 Streaming sessions (the WasmStreamingDecoder/WasmStreamingEncoder analog,
 libflo/src/lib.rs:544-812 — construct once, push bytes/samples as they
@@ -455,6 +458,37 @@ def _handle(path: str, query: dict, body: bytes):
                 "avg_loudness": fp.avg_loudness,
             }
         return 200, "application/json", json.dumps(out).encode(), {}
+
+    if path == "/v1/similarity":
+        # spectral_similarity (lib.rs:1378-1394): two files framed as
+        # [u32 LE len_a][flo_a][flo_b] -> weighted fingerprint similarity.
+        from .core import analysis as _an
+
+        if len(body) < 4:
+            raise ServiceError(400, "framed body required")
+        (alen,) = struct.unpack_from("<I", body, 0)
+        if alen > len(body) - 4:
+            raise ServiceError(400, "bad frame length")
+        fps = []
+        for blob in (body[4 : 4 + alen], body[4 + alen :]):
+            samples, rate, channels = reflo.decode_to_samples(blob)
+            fps.append(_an.extract_spectral_fingerprint(
+                np.asarray(samples, np.float32), channels, rate
+            ))
+        return 200, "application/json", json.dumps(
+            {"similarity": _an.spectral_similarity(*fps)}
+        ).encode(), {}
+
+    if path == "/v1/dominant_frequencies":
+        # extract_dominant_frequencies (lib.rs:1260-1301; analysis.rs:367-385).
+        from .core import analysis as _an
+
+        samples, rate, channels = reflo.decode_to_samples(body)
+        fp = _an.extract_spectral_fingerprint(
+            np.asarray(samples, np.float32), channels, rate
+        )
+        freqs = _an.extract_dominant_frequencies(fp, q1("num", 4))
+        return 200, "application/json", json.dumps(freqs).encode(), {}
 
     if path.startswith("/v1/stream/"):
         return _handle_stream(path, query, body, q1)

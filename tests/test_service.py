@@ -439,3 +439,34 @@ class TestSeekAndMetadataEndpoints:
         meta = flo_tpu.get_metadata(updated)
         assert meta.title == "T"
         assert meta.section_markers[0].section_type.value == "intro"
+
+
+class TestAnalysisEndpoints:
+    def test_similarity(self, server_url):
+        a = sine(440, 8000, 1.0)
+        b = sine(445, 8000, 1.0)   # near-identical spectrum
+        c = sine(3000, 8000, 1.0)  # very different
+        fa = flo_tpu.encode(a, 8000, 1, analyze=False)
+        fb = flo_tpu.encode(b, 8000, 1, analyze=False)
+        fc = flo_tpu.encode(c, 8000, 1, analyze=False)
+
+        def sim(x, y):
+            body = struct.pack("<I", len(x)) + x + y
+            _, _, out = _post(server_url, "/v1/similarity", body)
+            return json.loads(out)["similarity"]
+
+        assert sim(fa, fa) == 1.0  # identical content short-circuits on hash
+        assert sim(fa, fb) > sim(fa, fc)
+
+    def test_dominant_frequencies(self, server_url):
+        s = sine(440, 8000, 1.0)
+        flo = flo_tpu.encode(s, 8000, 1, analyze=False)
+        _, _, out = _post(server_url, "/v1/dominant_frequencies?num=3", flo)
+        frames = json.loads(out)
+        assert frames and len(frames[0]) == 3
+        assert all(0 <= f <= 4000 for f in frames[0])
+
+    def test_similarity_bad_framing(self, server_url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url, "/v1/similarity", struct.pack("<I", 999) + b"x")
+        assert e.value.code == 400
