@@ -23,6 +23,8 @@ Endpoints (POST body = binary unless noted):
                                         (X-Sample-Rate / X-Channels headers)
   POST /v1/decode_wav                   flo -> 32-bit float WAV
   POST /v1/info                         flo -> AudioInfo JSON
+  POST /v1/audio_info                   foreign audio file -> info JSON
+  POST /v1/encoding_info                flo -> encoder-stamp fields JSON
   POST /v1/validate                     flo -> {"valid": bool}
   POST /v1/metadata[?raw=1]             flo -> metadata JSON (raw=1: msgpack)
   POST /v1/metadata/create              metadata JSON -> msgpack bytes
@@ -458,6 +460,31 @@ def _handle(path: str, query: dict, body: bytes):
                 "avg_loudness": fp.avg_loudness,
             }
         return 200, "application/json", json.dumps(out).encode(), {}
+
+    if path == "/v1/audio_info":
+        # get_audio_file_info (reflo/src/wasm.rs:55-103): probe a foreign
+        # audio file (WAV/AIFF/FLAC/Ogg/MP3) without encoding it.
+        rate, channels, duration = audio_io.get_audio_info(body)
+        return 200, "application/json", json.dumps({
+            "sample_rate": rate, "channels": channels,
+            "duration_secs": duration,
+        }).encode(), {}
+
+    if path == "/v1/encoding_info":
+        # get_encoding_info (reflo/src/wasm.rs:201-233): the encoder stamps
+        # from the metadata (null when the file carries none).
+        meta = reflo.get_metadata(body)
+        if meta is None:
+            return 200, "application/json", b"null", {}
+        return 200, "application/json", json.dumps({
+            "original_filename": meta.original_filename,
+            "encoder_settings": meta.encoder_settings,
+            "encoder_version": meta.flo_encoder_version,
+            "encoding_time": meta.encoding_time,
+            "source_format": meta.source_format,
+            "encoded_by": meta.encoded_by,
+            "tagging_time": meta.tagging_time,
+        }).encode(), {}
 
     if path == "/v1/similarity":
         # spectral_similarity (lib.rs:1378-1394): two files framed as

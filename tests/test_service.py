@@ -470,3 +470,29 @@ class TestAnalysisEndpoints:
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(server_url, "/v1/similarity", struct.pack("<I", 999) + b"x")
         assert e.value.code == 400
+
+
+class TestInfoEndpoints:
+    def test_audio_info(self, server_url):
+        from flo_tpu import audio_io
+
+        s = sine(330, 4000, 1.5, channels=2)
+        wav = audio_io.write_wav_to_bytes(s, 4000, 2)
+        _, _, body = _post(server_url, "/v1/audio_info", wav)
+        info = json.loads(body)
+        assert info == {"sample_rate": 4000, "channels": 2, "duration_secs": 1.5}
+
+    def test_encoding_info(self, server_url):
+        from flo_tpu import audio_io, reflo
+
+        s = sine(330, 4000, 0.5)
+        wav = audio_io.write_wav_to_bytes(s, 4000, 1)
+        flo = reflo.encode_from_audio(wav, reflo.EncodeOptions.lossless())
+        _, _, body = _post(server_url, "/v1/encoding_info", flo)
+        info = json.loads(body)
+        assert info["source_format"] == "WAV"
+        assert info["encoder_version"]  # stamped by encode_from_samples
+
+        bare = flo_tpu.encode(s, 4000, 1, analyze=False)
+        _, _, body = _post(server_url, "/v1/encoding_info", bare)
+        assert json.loads(body) is None
