@@ -8,12 +8,12 @@ Python 3.13), FLAC (flo_tpu.flac, built on this codebase's own LPC/Rice
 machinery), and Ogg Vorbis (flo_tpu.vorbis — Vorbis is self-describing,
 so no fixed tables need transcribing).
 
-MP3 is ingested through the system libmpg123 (flo_tpu.mp3, ctypes) — the
-same design as the reference's Symphonia wrapping: MP3's normative
-Huffman/synthesis tables are opaque constant blobs that cannot be
-re-derived or verified offline, so the battle-tested system decoder is
-the faithful choice. AAC raises a clear error (no system decoder with a
-stable C ABI is present, and its codebooks have the same opacity).
+MP3 is ingested through the system libmpg123 (flo_tpu.mp3, ctypes) and
+AAC/M4A through the system libavformat+libavcodec (flo_tpu.aac over the
+native/ingest.cpp shim) — the same design as the reference's Symphonia
+wrapping: those codecs' normative Huffman/synthesis tables are opaque
+constant blobs that cannot be re-derived or verified offline, so the
+battle-tested system decoders are the faithful choice.
 
 WAV output matches the reference's 32-bit-float writer
 (reflo/src/audio.rs:284-320) byte-for-byte.
@@ -223,19 +223,34 @@ def read_audio_from_bytes(data: bytes):
         d = vorbis.decode(data)
         return d.samples, d.sample_rate, d.channels, d.metadata
     if len(data) > 11 and data[4:8] == b"ftyp":
-        raise UnsupportedFormatError(
-            "AAC/MP4 input is not supported: no system decoder is present "
-            "and AAC's normative codebooks cannot be reproduced faithfully "
-            "offline"
-        )
+        from . import aac
+
+        d = aac.decode(data, source_format="m4a")
+        return d.samples, d.sample_rate, d.channels, d.metadata
     if len(data) > 1 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0:
         # ADTS sync with layer bits 00 = raw AAC stream, not MPEG audio.
-        raise UnsupportedFormatError(
-            "AAC (ADTS) input is not supported: no system decoder is present"
-        )
+        from . import aac
+
+        d = aac.decode(data, source_format="aac")
+        return d.samples, d.sample_rate, d.channels, d.metadata
     if data[:3] == b"ID3" or (
         len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
+        # An ID3 tag can front either MPEG audio or ADTS AAC; peek at the
+        # first sync frame's layer bits (00 = AAC) to route correctly.
+        if data[:3] == b"ID3" and len(data) > 10:
+            body = 10 + (
+                (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+            )
+            if (
+                len(data) > body + 1
+                and data[body] == 0xFF
+                and (data[body + 1] & 0xF6) == 0xF0
+            ):
+                from . import aac
+
+                d = aac.decode(data, source_format="aac")
+                return d.samples, d.sample_rate, d.channels, d.metadata
         from . import mp3
 
         d = mp3.decode(data)

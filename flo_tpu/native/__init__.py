@@ -99,6 +99,29 @@ _SIGNATURES = {
             _i32p, _i32p, _i32p, _i32p, _i32p, _i64p, _i32p,
         ],
     },
+    "ingest": {
+        # AAC/M4A ingest shim over the system libavformat/libavcodec
+        # (ingest.cpp) — handle-based API, see flo_tpu/aac.py.
+        "flo_ingest_decode": [_u8p, ctypes.c_int64],
+        "flo_ingest_encode_aac": [
+            _f32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ],
+        "flo_ingest_error": [ctypes.c_void_p],
+        "flo_ingest_rate": [ctypes.c_void_p],
+        "flo_ingest_channels": [ctypes.c_void_p],
+        "flo_ingest_nsamples": [ctypes.c_void_p],
+        "flo_ingest_samples": [ctypes.c_void_p, _f32p],
+        "flo_ingest_ntags": [ctypes.c_void_p],
+        "flo_ingest_tag_key": [ctypes.c_void_p, ctypes.c_int],
+        "flo_ingest_tag_val": [ctypes.c_void_p, ctypes.c_int],
+        "flo_ingest_cover_size": [ctypes.c_void_p],
+        "flo_ingest_cover_mime": [ctypes.c_void_p],
+        "flo_ingest_cover": [ctypes.c_void_p, _u8p],
+        "flo_ingest_bytes_size": [ctypes.c_void_p],
+        "flo_ingest_bytes": [ctypes.c_void_p, _u8p],
+        "flo_ingest_free": [ctypes.c_void_p],
+    },
     "analysis": {
         "blake3_digest": [_u8p, ctypes.c_int64, _u8p],
         "kweight_cascade": [_f64p, ctypes.c_int64, ctypes.c_int64, _f64p],
@@ -115,14 +138,31 @@ _SIGNATURES = {
 }
 
 #: fn -> ctypes restype for non-void natives (ctypes defaults to c_int).
-_RESTYPES = {"sumsq_f32": ctypes.c_double}
+_RESTYPES = {
+    "sumsq_f32": ctypes.c_double,
+    "flo_ingest_decode": ctypes.c_void_p,
+    "flo_ingest_encode_aac": ctypes.c_void_p,
+    "flo_ingest_error": ctypes.c_char_p,
+    "flo_ingest_nsamples": ctypes.c_int64,
+    "flo_ingest_tag_key": ctypes.c_char_p,
+    "flo_ingest_tag_val": ctypes.c_char_p,
+    "flo_ingest_cover_size": ctypes.c_int64,
+    "flo_ingest_cover_mime": ctypes.c_char_p,
+    "flo_ingest_bytes_size": ctypes.c_int64,
+}
+
+#: module -> extra g++ flags (system libraries the shim links against).
+_LINK_FLAGS = {
+    "ingest": ["-lavformat", "-lavcodec", "-lavutil"],
+}
 
 
-def _build(src: pathlib.Path, out: pathlib.Path) -> bool:
+def _build(src: pathlib.Path, out: pathlib.Path, link: list | None = None) -> bool:
+    link = link or []
     cmds = [
-        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", str(src), "-o", str(out)],
-        ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)],
-        ["cc", "-O2", "-shared", "-fPIC", "-x", "c++", str(src), "-lstdc++", "-o", str(out)],
+        ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", str(src), "-o", str(out)] + link,
+        ["g++", "-O3", "-shared", "-fPIC", str(src), "-o", str(out)] + link,
+        ["cc", "-O2", "-shared", "-fPIC", "-x", "c++", str(src), "-lstdc++", "-o", str(out)] + link,
     ]
     for cmd in cmds:
         try:
@@ -143,7 +183,7 @@ def _load(name: str):
         lib = None
         try:
             if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-                if not _build(src, so):
+                if not _build(src, so, _LINK_FLAGS.get(name)):
                     _libs[name] = None
                     return None
             lib = ctypes.CDLL(str(so))

@@ -69,7 +69,9 @@ class TestDecode:
         with pytest.raises(audio_io.UnsupportedFormatError):
             mp3.decode(b"\xff\xfbjunk" + b"\x00" * 64)
 
-    def test_aac_rejected_not_routed_to_mp3(self):
+    def test_aac_not_routed_to_mp3(self):
+        # ADTS sync (layer bits 00) must dispatch to the AAC path, never to
+        # libmpg123 — truncated stubs surface the AAC error, not an MP3 one.
         adts = bytes([0xFF, 0xF1, 0x50, 0x80, 0x00, 0x1F, 0xFC]) + b"\x00" * 32
         with pytest.raises(audio_io.UnsupportedFormatError, match="AAC"):
             audio_io.read_audio_from_bytes(adts)
