@@ -421,7 +421,12 @@ def build_parser() -> argparse.ArgumentParser:
         "serve",
         help="Run the HTTP codec service (the WASM/JS API's serving analog)",
     )
-    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address (default loopback; the service is "
+        "unauthenticated — pass 0.0.0.0 only behind a reverse proxy)",
+    )
     s.add_argument("--port", type=int, default=8080)
     s.set_defaults(fn=cmd_serve)
     return p

