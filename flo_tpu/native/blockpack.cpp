@@ -7,7 +7,10 @@
 // cases and unpack on the device with pure gather/shift/mask (no sequential
 // scan), at ~10-15% more bytes than Rice.
 //
-// Format, per lane (mode in {0: values, 1: first delta, 2: second delta},
+// Format, per lane (mode in {0: values, 1..4: k-th difference — the full
+// fixed-predictor family, matching the codec's fixed orders; measured on
+// the reference corpus's tonal content orders 3/4 cut the PCM wire from
+// ~7.0 to ~4.6 bits/sample, and noise still picks mode 0},
 // transform applied with int32 wrap, then zigzag u = (v<<1)^(v>>31)):
 //   codes are grouped in blocks of BLK=256; block b stores its 256 codes at
 //   widths[lane][b] bits each as w BIT-PLANES: plane p (0..w-1) is 8
@@ -78,37 +81,38 @@ void blockpack_analyze(const int32_t* rows, int64_t L, int64_t stride,
     for (int64_t l = 0; l < L; ++l) {
         const int32_t* r = rows + l * stride;
         const int64_t n = nvalid[l];
-        int64_t bytes[3] = {0, 0, 0};
+        int64_t bytes[5] = {0, 0, 0, 0, 0};
         uint8_t* wl = widths + l * nblk;
         // Per-block widths for each candidate transform, streamed.
-        uint8_t* w0s = new uint8_t[3 * nblk];
-        uint32_t prev = 0, prevd = 0;
+        uint8_t* w0s = new uint8_t[5 * nblk];
+        uint32_t p0 = 0, p1 = 0, p2 = 0, p3 = 0;  // prev v, d1, d2, d3
         for (int64_t b = 0; b < nblk; ++b) {
-            uint32_t m0 = 0, m1 = 0, m2 = 0;
+            uint32_t m[5] = {0, 0, 0, 0, 0};
             const int64_t j0 = b * BLK;
             const int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
             for (int64_t j = j0; j < j1; ++j) {
                 const uint32_t v = static_cast<uint32_t>(r[j]);
-                const uint32_t d1 = v - prev;
-                const uint32_t d2 = d1 - prevd;
-                prev = v;
-                prevd = d1;
+                const uint32_t d1 = v - p0;
+                const uint32_t d2 = d1 - p1;
+                const uint32_t d3 = d2 - p2;
+                const uint32_t d4 = d3 - p3;
+                p0 = v; p1 = d1; p2 = d2; p3 = d3;
                 uint32_t z;
-                z = zigzag32(static_cast<int32_t>(v));  if (z > m0) m0 = z;
-                z = zigzag32(static_cast<int32_t>(d1)); if (z > m1) m1 = z;
-                z = zigzag32(static_cast<int32_t>(d2)); if (z > m2) m2 = z;
+                z = zigzag32(static_cast<int32_t>(v));  if (z > m[0]) m[0] = z;
+                z = zigzag32(static_cast<int32_t>(d1)); if (z > m[1]) m[1] = z;
+                z = zigzag32(static_cast<int32_t>(d2)); if (z > m[2]) m[2] = z;
+                z = zigzag32(static_cast<int32_t>(d3)); if (z > m[3]) m[3] = z;
+                z = zigzag32(static_cast<int32_t>(d4)); if (z > m[4]) m[4] = z;
             }
-            const int w0 = width_of(m0), w1 = width_of(m1), w2 = width_of(m2);
-            w0s[b] = static_cast<uint8_t>(w0);
-            w0s[nblk + b] = static_cast<uint8_t>(w1);
-            w0s[2 * nblk + b] = static_cast<uint8_t>(w2);
-            bytes[0] += 32 * w0;
-            bytes[1] += 32 * w1;
-            bytes[2] += 32 * w2;
+            for (int c = 0; c < 5; ++c) {
+                const int w = width_of(m[c]);
+                w0s[c * nblk + b] = static_cast<uint8_t>(w);
+                bytes[c] += 32 * w;
+            }
         }
         int mode = 0;
-        if (bytes[1] < bytes[mode]) mode = 1;
-        if (bytes[2] < bytes[mode]) mode = 2;
+        for (int c = 1; c < 5; ++c)
+            if (bytes[c] < bytes[mode]) mode = c;
         modes[l] = static_cast<uint8_t>(mode);
         lane_bytes[l] = bytes[mode];
         std::memcpy(wl, w0s + mode * nblk, nblk);
@@ -128,7 +132,7 @@ void blockpack_pack(const int32_t* rows, int64_t L, int64_t stride,
         const int mode = modes[l];
         const uint8_t* wl = widths + l * nblk;
         uint8_t* dst = out + lane_off[l];
-        uint32_t prev = 0, prevd = 0;
+        uint32_t p0 = 0, p1 = 0, p2 = 0, p3 = 0;  // prev v, d1, d2, d3
         uint32_t z[BLK];
         uint32_t planes[8][32];  // [group][transposed rows]
         for (int64_t b = 0; b < nblk; ++b) {
@@ -138,11 +142,14 @@ void blockpack_pack(const int32_t* rows, int64_t L, int64_t stride,
             if (j1 < j0) j1 = j0;  // block fully past nvalid
             for (int64_t j = j0; j < j1; ++j) {
                 const uint32_t v = static_cast<uint32_t>(r[j]);
-                const uint32_t d1 = v - prev;
-                const uint32_t d2 = d1 - prevd;
-                prev = v;
-                prevd = d1;
-                const uint32_t t = mode == 0 ? v : (mode == 1 ? d1 : d2);
+                const uint32_t d1 = v - p0;
+                const uint32_t d2 = d1 - p1;
+                const uint32_t d3 = d2 - p2;
+                const uint32_t d4 = d3 - p3;
+                const uint32_t t = mode == 0 ? v
+                    : mode == 1 ? d1 : mode == 2 ? d2
+                    : mode == 3 ? d3 : d4;
+                p0 = v; p1 = d1; p2 = d2; p3 = d3;
                 z[j - j0] = zigzag32(static_cast<int32_t>(t));
             }
             for (int64_t j = j1; j < j0 + BLK; ++j) z[j - j0] = 0;
@@ -174,7 +181,7 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
         const uint8_t* wl = widths + l * nblk;
         const uint8_t* src = buf + lane_off[l];
         int32_t* dst = out + l * out_stride;
-        uint32_t c1 = 0, c2 = 0;
+        uint32_t c1 = 0, c2 = 0, c3 = 0, c4 = 0;
         uint32_t A[32];
         for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
             const int w = wl[b];
@@ -190,12 +197,15 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
                     const uint32_t z = A[31 - i];
                     const uint32_t v = (z >> 1)
                         ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
-                    c1 += v;    // mode 1: value = cumsum(delta)
-                    c2 += c1;   // mode 2: value = cumsum(cumsum(delta2))
+                    c1 += v;    // mode m: value = m-fold running sum
+                    c2 += c1;
+                    c3 += c2;
+                    c4 += c3;
                     const int64_t j = j0 + 32 * g + i;
                     if (j < n)
                         dst[j] = static_cast<int32_t>(
-                            mode == 0 ? v : (mode == 1 ? c1 : c2));
+                            mode == 0 ? v : mode == 1 ? c1 : mode == 2 ? c2
+                            : mode == 3 ? c3 : c4);
                 }
             }
             src += 32 * w;
@@ -224,7 +234,7 @@ void blockpack_unpack_f32(const uint8_t* buf, const int64_t* lane_off,
         const uint8_t* wl = widths + l * nblk;
         const uint8_t* src = buf + lane_off[l];
         float* dst = out + out_base[l];
-        uint32_t c1 = 0, c2 = 0;
+        uint32_t c1 = 0, c2 = 0, c3 = 0, c4 = 0;
         uint32_t A[32];
         for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
             const int w = wl[b];
@@ -240,11 +250,14 @@ void blockpack_unpack_f32(const uint8_t* buf, const int64_t* lane_off,
                         ^ static_cast<uint32_t>(-static_cast<int32_t>(z & 1u));
                     c1 += v;
                     c2 += c1;
+                    c3 += c2;
+                    c4 += c3;
                     const int64_t j = j0 + 32 * g + i;
                     if (j < n)
                         dst[j * out_step] =
                             static_cast<float>(static_cast<int32_t>(
-                                mode == 0 ? v : (mode == 1 ? c1 : c2))) * scale;
+                                mode == 0 ? v : mode == 1 ? c1 : mode == 2 ? c2
+                                : mode == 3 ? c3 : c4)) * scale;
                 }
             }
             src += 32 * w;

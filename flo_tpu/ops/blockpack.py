@@ -21,7 +21,9 @@ scatter/gather index):
   between the Pallas reconstruction (~7 ms) and the 1000x target.
 
 Format (shared with the C++ half, see native/blockpack.cpp): per lane a
-transform mode (0 = values, 1 = first delta, 2 = second delta; int32 wrap),
+transform mode (0 = values, k in 1..4 = k-th difference, int32 wrap — the
+codec's fixed-predictor family; on the corpus's tonal content orders 3/4
+cut the PCM wire from ~7.0 to ~4.6 bits/sample while noise still picks 0),
 zigzag, then blocks of BLK=256 codes at a per-block width w in [0, 32].
 Block payload = w bit-planes; plane p (0..w-1) is 8 little-endian u32
 words, and bit i of plane word q holds bit p of zigzag code 32q+i. A block
@@ -84,8 +86,12 @@ def _np_widths(z: np.ndarray, nblk: int) -> np.ndarray:
 
 
 def _np_transform(rows, nvalid, nblk):
-    """Shared fallback prep: masked values + d1/d2 (int32 wrap), padded to
-    whole blocks. Returns (v, d1, d2, valid) each [L, nblk*BLK]."""
+    """Shared fallback prep: masked values + the 1st..4th differences
+    (int32 wrap), padded to whole blocks. Each difference is taken over the
+    UNMASKED previous order (nvalid is a prefix count, so every valid
+    position's chain only touches valid positions — matching the C++
+    streaming state). Returns ([v, d1, d2, d3, d4], valid), each
+    [L, nblk*BLK] with invalid positions zeroed."""
     L, S = rows.shape
     valid = np.arange(S)[None, :] < nvalid[:, None]
     v = np.where(valid, rows, 0).astype(np.int32)
@@ -93,13 +99,12 @@ def _np_transform(rows, nvalid, nblk):
     if pad:
         v = np.pad(v, ((0, 0), (0, pad)))
         valid = np.pad(valid, ((0, 0), (0, pad)))
-    d1 = v.copy()
-    d1[:, 1:] -= v[:, :-1]
-    d2 = d1.copy()
-    d2[:, 1:] -= d1[:, :-1]
-    d1 = np.where(valid, d1, 0)
-    d2 = np.where(valid, d2, 0)
-    return v, d1, d2, valid
+    cands = [v]
+    for _ in range(4):
+        d = cands[-1].copy()
+        d[:, 1:] -= cands[-1][:, :-1]
+        cands.append(d)
+    return [np.where(valid, d, 0) for d in cands], valid
 
 
 def analyze_host(rows: np.ndarray, nvalid: np.ndarray):
@@ -118,8 +123,8 @@ def analyze_host(rows: np.ndarray, nvalid: np.ndarray):
     if out is not None:
         return out
     # numpy fallback
-    v, d1, d2, _valid = _np_transform(rows, nvalid, nblk)
-    cands = [_np_widths(_np_zigzag(x), nblk) for x in (v, d1, d2)]
+    ds, _valid = _np_transform(rows, nvalid, nblk)
+    cands = [_np_widths(_np_zigzag(x), nblk) for x in ds]
     sizes = np.stack([32 * c.astype(np.int64).sum(axis=1) for c in cands])
     modes = sizes.argmin(axis=0).astype(np.uint8)
     widths = np.choose(modes[:, None], cands)
@@ -177,11 +182,9 @@ def _np_pack_into(rows, nvalid, modes, widths, lane_off, buf):
     the payload is the stream of live plane units in block order."""
     L, S = rows.shape
     nblk = widths.shape[1]
-    v, d1, d2, _valid = _np_transform(rows, nvalid, nblk)
+    ds, _valid = _np_transform(rows, nvalid, nblk)
     modes = np.asarray(modes)
-    t = np.where(
-        (modes == 2)[:, None], d2, np.where((modes == 1)[:, None], d1, v)
-    )
+    t = np.choose(modes[:, None], ds)
     z = _np_zigzag(t).reshape(L * nblk, 8, 32)  # [block, group, i]
     blk, p = _plane_units(widths, lane_off)
     if blk.size == 0:
@@ -231,10 +234,11 @@ def unpack_host(buf, modes, widths, lane_off, nvalid, S: int) -> np.ndarray:
         z |= (((win[:, pp, :, None] >> i) & np.uint32(1)) << np.uint32(pp))
     z = z.reshape(L, nblk * BLK)[:, :S]
     v = ((z >> 1) ^ (-(z & 1)).astype(np.uint32)).view(np.int32)
-    c1 = np.cumsum(v, axis=1, dtype=np.int32)
-    c2 = np.cumsum(c1, axis=1, dtype=np.int32)
+    sums = [v]
+    for _ in range(4):
+        sums.append(np.cumsum(sums[-1], axis=1, dtype=np.int32))
     modes = np.asarray(modes)
-    out = np.where((modes == 2)[:, None], c2, np.where((modes == 1)[:, None], c1, v))
+    out = np.choose(modes[:, None], sums)
     return np.where(np.arange(S)[None, :] < nvalid[:, None], out, 0)
 
 
@@ -308,10 +312,13 @@ def pack_rows_stage1(rows, nvalid):
     valid = j[None, :] < nvalid.astype(jnp.int32)[:, None]
     vpad = rows if Spad == S else jnp.pad(rows, ((0, 0), (0, Spad - S)))
     v = jnp.where(valid, vpad, 0).astype(jnp.int32)
-    d1 = v - jnp.pad(v, ((0, 0), (1, 0)))[:, :Spad]
-    d2 = d1 - jnp.pad(d1, ((0, 0), (1, 0)))[:, :Spad]
-    d1 = jnp.where(valid, d1, 0)
-    d2 = jnp.where(valid, d2, 0)
+    # 1st..4th differences over the unmasked previous order (prefix-valid
+    # lanes make the chains match the C++ streaming state), masked after.
+    diffs = [v]
+    for _ in range(4):
+        d = diffs[-1]
+        diffs.append(d - jnp.pad(d, ((0, 0), (1, 0)))[:, :Spad])
+    diffs = [jnp.where(valid, d, 0) for d in diffs]
 
     def zig(x):
         return ((x << 1) ^ (x >> 31)).astype(jnp.uint32)
@@ -322,14 +329,17 @@ def pack_rows_stage1(rows, nvalid):
             m == 0, 0, 32 - jax.lax.clz(jax.lax.bitcast_convert_type(m, jnp.int32))
         )
 
-    z0, z1, z2 = zig(v), zig(d1), zig(d2)
-    w0, w1, w2 = (wblk(z) for z in (z0, z1, z2))
-    s0, s1, s2 = (w.sum(axis=1) for w in (w0, w1, w2))
-    modes = jnp.where((s2 < s1) & (s2 < s0), 2, jnp.where(s1 < s0, 1, 0))
-    m1 = (modes == 1)[:, None]
-    m2 = (modes == 2)[:, None]
-    w = jnp.where(m2, w2, jnp.where(m1, w1, w0))
-    z = jnp.where(m2, z2, jnp.where(m1, z1, z0))
+    zs = [zig(d) for d in diffs]
+    ws = [wblk(z) for z in zs]
+    sizes = jnp.stack([w.sum(axis=1) for w in ws])  # [5, L]
+    modes = jnp.argmin(sizes, axis=0).astype(jnp.int32)  # first-min tiebreak
+    # Elementwise where-chain select (no [5, L, Spad] stack in HBM).
+    w = ws[0]
+    z = zs[0]
+    for k in range(1, 5):
+        mk = (modes == k)[:, None]
+        w = jnp.where(mk, ws[k], w)
+        z = jnp.where(mk, zs[k], z)
 
     # Plane production = the vectorized 32x32 bit transpose (the same
     # algorithm the C++ half uses). Two rejected alternates, measured: an
@@ -345,10 +355,11 @@ def pack_rows_stage1(rows, nvalid):
 
 
 #: Worst-case bit width per code for the PCM download direction: decoded
-#: PCM is i16 by format (zigzag <= 17 bits); +1 headroom. A corrupt stream
-#: can exceed this (reconstruction garbage) — callers fall back to the
-#: entropy-bucketed two-phase path when the actual payload overflows.
-PCM_WORST_BITS = 18
+#: PCM is i16 by format, and the widest candidate the analyzer may PICK is
+#: the 4th difference, |d4| <= 2^4 * 32768 = 2^19 -> zigzag < 2^20, 20 bits.
+#: A corrupt stream can exceed this (reconstruction garbage) — callers fall
+#: back to the entropy-bucketed two-phase path when the payload overflows.
+PCM_WORST_BITS = 20
 
 
 def pack_worst_words_pcm(L: int, S: int) -> int:
@@ -512,10 +523,10 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
     z = (((T0 >> s) | hi) & mask).reshape(L, Sp)[:, :S]
 
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
-    c1 = jnp.cumsum(v, axis=1, dtype=jnp.int32)
-    c2 = jnp.cumsum(c1, axis=1, dtype=jnp.int32)
-    out = jnp.where(
-        (modes == 2)[:, None], c2, jnp.where((modes == 1)[:, None], c1, v)
-    )
+    out = v
+    acc = v
+    for k in range(1, 5):
+        acc = jnp.cumsum(acc, axis=1, dtype=jnp.int32)
+        out = jnp.where((modes == k)[:, None], acc, out)
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid.astype(jnp.int32)[:, None]
     return jnp.where(valid, out, 0)

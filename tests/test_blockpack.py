@@ -138,6 +138,103 @@ def test_numpy_fallback_matches_cpp():
         )
 
 
+def test_higher_order_modes_chosen_and_exact():
+    """Polynomial-smooth lanes force transform orders 3 and 4; every
+    implementation pair (C++ pack / numpy pack / device unpack / host
+    unpack / fused f32 finalizer) agrees bit-for-bit, and the higher
+    orders genuinely shrink the payload vs a d2-only packer would."""
+    rng = np.random.default_rng(21)
+    S = 4000
+    j = np.arange(S, dtype=np.float64)
+    rows = np.zeros((4, S), np.int32)
+    # cubic ramp -> d3 constant-ish; quartic -> d4; tone -> order 3/4 wins
+    rows[0] = (j**3 / 2e6).astype(np.int32)
+    rows[1] = (j**4 / 4e9).astype(np.int32)
+    rows[2] = (30000 * np.sin(j * 0.02)).astype(np.int32)
+    rows[3] = np.cumsum(np.cumsum(np.cumsum(rng.integers(-2, 3, S)))).astype(
+        np.int32
+    )
+    nvalid = np.full(4, S, np.int64)
+
+    buf, modes, widths, lane_off = blockpack.pack_host(rows, nvalid)
+    assert modes.max() >= 3, f"expected an order-3/4 lane, got modes={modes}"
+
+    # d2-capped widths for comparison: the extension must strictly help.
+    ds, _ = blockpack._np_transform(rows, nvalid, blockpack.nblocks(S))
+    w2 = min(
+        32 * blockpack._np_widths(blockpack._np_zigzag(d), blockpack.nblocks(S))
+        .astype(np.int64).sum() for d in ds[:3]
+    )
+    assert len(buf) - blockpack.PAD_BYTES < w2
+
+    # host unpack (C++), forced-numpy unpack, device unpack all invert
+    out_c = blockpack.unpack_host(buf, modes, widths, lane_off, nvalid, S)
+    np.testing.assert_array_equal(out_c, rows)
+    from unittest import mock
+
+    with mock.patch("flo_tpu.native.blockpack_unpack", return_value=None):
+        out_np = blockpack.unpack_host(buf, modes, widths, lane_off, nvalid, S)
+    np.testing.assert_array_equal(out_np, rows)
+    out_d, *_ = _upload_roundtrip(rows, nvalid)
+    np.testing.assert_array_equal(out_d, rows)
+
+    # device pack (stage1+stage2) emits identical bytes and widths
+    import jax
+
+    from flo_tpu.ops import blockspread
+
+    stage, modes_d, widths_d, lane_bytes_d, _ = jax.jit(
+        blockpack.pack_rows_stage1
+    )(jnp.asarray(rows), jnp.asarray(nvalid))
+    np.testing.assert_array_equal(np.asarray(modes_d), modes.astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(widths_d), widths)
+    total = int(np.asarray(lane_bytes_d).sum())
+    NW = blockspread.bucket_words(max(total // 4, 1))
+    buf_d = np.asarray(
+        blockpack.pack_rows_stage2(NW=NW, **stage)
+    ).view(np.uint8)[:total]
+    np.testing.assert_array_equal(buf_d, buf[:total])
+
+    # numpy pack fallback emits identical bytes
+    buf_np = np.zeros_like(buf)
+    blockpack._np_pack_into(rows, nvalid, modes, widths, lane_off, buf_np)
+    np.testing.assert_array_equal(buf_np, buf)
+
+    # fused f32 finalizer (C++ and forced-numpy)
+    out_base = np.arange(4, dtype=np.int64) * S
+    for force_np in (False, True):
+        out = np.zeros(4 * S, np.float32)
+        ctx = (
+            mock.patch("flo_tpu.native.blockpack_unpack_f32", return_value=False)
+            if force_np else mock.patch("builtins.id", id)
+        )
+        with ctx:
+            blockpack.unpack_f32_into(
+                buf, modes, widths, lane_off, nvalid, S,
+                out_base, 1, 1.0 / 32767.0, out,
+            )
+        np.testing.assert_array_equal(
+            out.reshape(4, S),
+            rows.astype(np.float32) * np.float32(1.0 / 32767.0),
+        )
+
+
+def test_pcm_worst_bits_covers_chosen_modes():
+    """The fused download bucket (PCM_WORST_BITS) must cover ANY width the
+    analyzer can pick for spec-valid i16 PCM — including the widest block
+    of an order-4 lane. Adversarial content: max-amplitude alternation
+    (the largest possible 4th difference)."""
+    S = 2048
+    rows = np.where(
+        np.arange(S) % 2 == 0, np.int32(-32768), np.int32(32767)
+    )[None, :].astype(np.int32)
+    nvalid = np.full(1, S, np.int64)
+    _, modes, widths, _ = blockpack.pack_host(rows, nvalid)
+    assert int(widths.max()) <= blockpack.PCM_WORST_BITS
+    # and the bound is exactly the d4 zigzag width of 2^4 * 32768
+    assert blockpack.PCM_WORST_BITS == 20
+
+
 def test_silence_packs_to_zero_bytes():
     rows = np.zeros((3, 512), np.int32)
     nvalid = np.full(3, 512, np.int64)
