@@ -615,7 +615,14 @@ class _Handler(BaseHTTPRequestHandler):
                     u.path, parse_qs(u.query), body
                 )
             else:
-                with _CODEC_LOCK:
+                # Shape buckets on: clients send arbitrary payload lengths,
+                # and without bucketing every distinct geometry compiles a
+                # fresh device program (minutes on a remote-compile cache
+                # miss). The {1,1.5}x2^k padding bounds the program set to a
+                # logarithmic family at <= +33% padded compute per call.
+                from .parallel import use_shape_buckets
+
+                with _CODEC_LOCK, use_shape_buckets():
                     status, ctype, payload, extra = _handle(
                         u.path, parse_qs(u.query), body
                     )

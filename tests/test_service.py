@@ -151,6 +151,32 @@ class TestService:
             urllib.request.urlopen(req)
         assert e.value.code == 400
 
+    def test_codec_dispatch_runs_under_shape_buckets(self, server_url):
+        """Codec endpoints run with shape bucketing enabled (arbitrary
+        client payload geometries must hit a logarithmic program family,
+        not one compile per exact shape); metadata-only fast paths
+        (/v1/version) stay outside the codec lock and unbucketed."""
+        from unittest import mock
+
+        from flo_tpu.parallel import shape_buckets_on
+
+        seen = {}
+        real = service._handle
+
+        def spy(path, query, body):
+            seen[path] = shape_buckets_on()
+            return real(path, query, body)
+
+        with mock.patch.object(service, "_handle", side_effect=spy):
+            _post(
+                server_url,
+                "/v1/encode?sample_rate=2000&channels=1",
+                sine(100, 2000, 0.2).tobytes(),
+            )
+            _get(server_url, "/v1/version")
+        assert seen["/v1/encode"] is True
+        assert seen["/v1/version"] is False
+
     def test_cover_art_404(self, server_url):
         s = sine(100, 2000, 0.2)
         flo = flo_tpu.encode(s, 2000, 1, analyze=False)
