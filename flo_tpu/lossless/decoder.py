@@ -274,10 +274,22 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
             )
             # Small outputs (modes/widths/bytes) start their host copy now
-            # (ready when compute ends); the prefix fetch starts in
-            # collect's first phase (the pack itself already ran fused).
+            # (ready when compute ends). The payload prefix fetch ALSO
+            # starts now, speculatively sized from the previous same-shaped
+            # chunk (cold: ~0.75x the residual upload — delta-packed PCM is
+            # usually smaller than the Rice-domain residuals), so the
+            # download streams while the host collects OTHER pipelines
+            # instead of waiting for this collect's turn (tools/
+            # pass_timeline.py: fetches used to start 2.4-2.6 s late).
             start_host_copy(handle[2], handle[3], handle[4])
-            return handle, lo, hi
+            from ..ops import blockspread
+
+            spec = blockspread.fetch_words_spec_start(
+                handle[1],
+                ("ll_dec", channels, S_max, fhi_f - flo_f),
+                int(payload_end * 0.75),
+            )
+            return handle, spec, lo, hi
 
         handles = []
         for flo_f in range(0, F_tot, f_half):
@@ -306,7 +318,7 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             from ..ops import blockspread
 
             started = []
-            for (stage, words_d, modes_d, widths_d, bytes_d, _off_d), lo, hi in handles:
+            for (stage, words_d, modes_d, widths_d, bytes_d, _off_d), spec, lo, hi in handles:
                 # Offsets recomputed host-side (lane payloads are 32-byte
                 # multiples and tile the stream; padded mesh lanes are a
                 # zero-byte tail, dropped by the [:hi-lo] slices below).
@@ -316,11 +328,13 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 if total_bytes > words_d.size * 4:
                     # Corrupt-stream route: reconstruction garbage widened a
                     # block past PCM_WORST_BITS — redispatch at the exact
-                    # entropy-sized bucket.
+                    # entropy-sized bucket (the speculative prefix is a
+                    # slice of the OLD words buffer; drop it).
                     words_d = blockpack.pack_rows_stage2(
                         NW=blockspread.bucket_words(total_bytes // 4), **stage
                     )
-                h = blockspread.fetch_words_start(words_d, total_bytes)
+                    spec = None
+                h = blockspread.fetch_words_spec_resolve(spec, words_d, total_bytes)
                 started.append(
                     (h, total_bytes, boff[:-1], modes_d, widths_d, lo, hi)
                 )
@@ -329,7 +343,7 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
             # the buffer exactly, so np.empty is safe.
             group_out = np.empty(group_nsamp, np.float32)
             for h, total, dn_off, modes_d, widths_d, lo, hi in started:
-                packed = blockspread.fetch_words_finish(h, total)
+                packed = blockspread.fetch_words_spec_collect(h)
                 blockpack.unpack_f32_into(
                     packed, np.asarray(modes_d)[: hi - lo],
                     np.asarray(widths_d)[: hi - lo],

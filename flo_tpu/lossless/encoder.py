@@ -342,12 +342,23 @@ def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
             tuple(kinds), tuple(cand_orders), C, spf,
         )
         # Start host copies for the small outputs (everything but the packed
-        # payload buffer [3] and the residual rows [7]).
+        # payload buffer [3] and the residual rows [7]). The payload prefix
+        # fetch ALSO starts now, speculatively sized from the previous
+        # same-shaped chunk (cold: ~1.3x the packed-PCM upload — Rice
+        # residual payloads run a bit larger than delta-packed PCM), so the
+        # container bytes stream down while the host is busy elsewhere.
         from ..futures import start_host_copy
+        from ..ops import blockspread
 
         start_host_copy(*(device_out[i] for i in (0, 1, 2, 4, 5, 6, 8, 9, 10)))
+        spec = blockspread.fetch_words_spec_start(
+            device_out[3],
+            ("ll_enc", C, spf, n_frames),
+            int(payload_end * 1.3),
+        )
         return {
             "device_out": device_out[:10],
+            "spec": spec,
             "mid_side_dev": device_out[10],
             "nvalid": np.repeat(frame_samples, C).astype(np.int32),
             "frame_samples": frame_samples,
@@ -413,10 +424,17 @@ def _dispatch_chunk(lanes_in, frame_samples, C, kinds, cand_orders,
         is_lpc,
     )
     from ..futures import start_host_copy
+    from ..ops import blockspread
 
     start_host_copy(*(device_out[i] for i in (0, 1, 2, 4, 5, 6, 8, 9)))
+    spec = blockspread.fetch_words_spec_start(
+        device_out[3],
+        ("ll_enc16", C, spf, Fa),
+        int(pcm16.nbytes * 0.55),
+    )
     return {
         "device_out": device_out,
+        "spec": spec,
         "mid_side_dev": None,
         "nvalid": nvalid,
         "frame_samples": frame_samples,
@@ -440,7 +458,7 @@ def _start_chunk_fetch(st) -> None:
     lane_off = np.asarray(lane_off_d).astype(np.int64)
     # Word-aligned payload span (the last lane's region rounds up to words).
     total = int(lane_off[-1] + ((lane_bytes[-1] + 3) // 4) * 4) if st["L"] else 0
-    h = blockspread.fetch_words_start(words, total) if total else None
+    h = blockspread.fetch_words_spec_resolve(st.get("spec"), words, total)
     st["prefetch"] = (h, total, lane_bytes, lane_off)
 
 
@@ -473,7 +491,7 @@ def _collect_chunk(st, C, kinds, cand_orders, max_order, compat: str = "fixed"):
     # sizes; equality is a cheap end-to-end check of the device bit packing.
     if not np.array_equal(lane_bytes, np.asarray(size_d).astype(np.int64)):
         raise AssertionError("device Rice packing size mismatch")
-    pb = blockspread.fetch_words_finish(prefix_h, total)
+    pb = blockspread.fetch_words_spec_collect(prefix_h)
 
     # Exact host re-pack of flagged lanes (q+1+k > 32 somewhere; possible
     # only on pathological spikes — the estimator keeps quotients small).

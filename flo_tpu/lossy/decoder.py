@@ -246,9 +246,19 @@ def decode_many_async(
             n,
         )
         from ..futures import start_host_copy
+        from ..ops import blockspread as _bs
 
         start_host_copy(h[2], h[3], h[4])  # modes/widths/bytes
-        handles.append((lo, hi, nv, h))
+        # Dispatch-time speculative payload prefetch (sized from the
+        # previous same-shaped chunk; cold: ~6 bits per decoded sample —
+        # dequantized MDCT output delta-packs tighter than raw input), so
+        # the PCM download streams while the host collects other pipelines.
+        spec = _bs.fetch_words_spec_start(
+            h[1],
+            ("lo_dec", C, n2, t_max, hi - lo),
+            int(nv.sum()) * 6 // 8,
+        )
+        handles.append((lo, hi, nv, h, spec))
 
     def fin() -> list[np.ndarray]:
         from ..ops import blockpack, blockspread
@@ -257,7 +267,7 @@ def decode_many_async(
         # Phase 1: async-start every chunk's payload download (the pack
         # already ran fused at the PCM worst-case bucket).
         started = []
-        for lo, hi, nv, h in handles:
+        for lo, hi, nv, h, spec in handles:
             stage, words_d, modes_d, widths_d, bytes_d, _off_d = h
             dn_bytes = np.asarray(bytes_d).astype(np.int64)
             boff = np.concatenate([[0], np.cumsum(dn_bytes)])
@@ -266,7 +276,8 @@ def decode_many_async(
                 words_d = blockpack.pack_rows_stage2(
                     NW=blockspread.bucket_words(total // 4), **stage
                 )
-            hp = blockspread.fetch_words_start(words_d, total)
+                spec = None  # the prefix sliced the OLD words buffer
+            hp = blockspread.fetch_words_spec_resolve(spec, words_d, total)
             started.append(
                 (lo, hi, nv, hp, total, boff[:-1], modes_d, widths_d)
             )
@@ -280,7 +291,7 @@ def decode_many_async(
         np.cumsum(T_out * n2 * C, out=file_base[1:])
         batch_out = np.empty(int(file_base[-1]), np.float32)
         for lo, hi, nv, hp, total, dn_off, modes_d, widths_d in started:
-            packed = blockspread.fetch_words_finish(hp, total)
+            packed = blockspread.fetch_words_spec_collect(hp)
             n_lanes = len(nv)  # (hi-lo+pad)*t_max*C
             base = np.full(n_lanes, -1, np.int64)
             for i in range(lo, hi):

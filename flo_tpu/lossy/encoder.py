@@ -21,7 +21,13 @@ from ..core.constants import FrameType
 from ..core.types import ChannelData, Frame
 from ..futures import BulkFuture
 from ..ops import compact, mdct, psycho
+from ..ops import ricepack as _rp
 from .sparse import serialize_sparse
+
+#: Last (entry-count bucket, actual entry count) per chunk-geometry key —
+#: sizes the dispatch-time speculative assembly + entries prefetch (see
+#: encode_many_to_frames_async; same idea as blockspread._SPEC_BYTES).
+_ENTRIES_SPEC: dict = {}
 
 BLOCK = mdct.LONG_N  # always Long/2048 + Vorbis (encoder.rs:36-53)
 HOP = BLOCK // 2
@@ -282,40 +288,51 @@ def encode_many_to_frames_async(
                 _pp.put_batch(np.pad(stacked[lo:hi], ((0, pad_l), (0, 0))), mesh),
                 int(sample_rate), _pp.put_replicated(thr, mesh),
             )
-        handles.append((hi - lo, h))
+        # Dispatch-time speculative assembly + entries prefetch, sized from
+        # the previous same-shaped chunk (any call): the entries stream down
+        # while the host is busy collecting other pipelines. Cold keys (or
+        # a bucket miss at collect) fall back to the exact two-phase route.
+        key = ("lo_enc", C, t_max, hi - lo)
+        spec = None
+        from ..ops import blockspread as _bs
+
+        cached = _ENTRIES_SPEC.get(key) if _bs.SPEC_PREFETCH else None
+        if cached is not None and cached[1] > 0:
+            ne_c, tot_c = cached
+            ed = compact.assemble_entries(h[0], h[1], NE=ne_c)
+            fh = _rp.fetch_prefix_start(ed, tot_c)
+            covered = int(fh.shape[0]) if fh is not None else 0
+            spec = (ed, ne_c, fh, covered)
+        handles.append((hi - lo, h, key, spec))
 
     def fin() -> list[list[Frame]]:
-        # Chunk 0 assembles two-phase (exact bucket after its size read);
-        # every later chunk's assembly is dispatched SPECULATIVELY at the
-        # running max bucket BEFORE that chunk's own size read, so the
-        # read's tunnel stall (~15 ms — every device->host read pays it)
-        # overlaps the assembly's execution instead of idling the device.
-        # A miss (bucket too small) just redispatches at the exact size.
+        # Each chunk's assembly was dispatched SPECULATIVELY at dispatch
+        # time (previous same-shaped chunk's bucket) with its entries
+        # prefetch already streaming, so the size read's tunnel stall
+        # (~15 ms — every device->host read pays it) overlaps execution.
+        # A miss (bucket too small) just redispatches at the exact size;
+        # an undershot prefetch fetches only the missing tail.
         q_parts, sf_parts = [], []
-        ne_spec = None
-        spec_d = [None] * len(handles)
-        for idx, (nl, (comp_d, blk_nnz_d, row_nnz_d, sf_d)) in enumerate(handles):
+        for nl, (comp_d, blk_nnz_d, row_nnz_d, sf_d), key, spec in handles:
             # [:nl...]: drop inert mesh-padding lanes (zero rows at the tail
             # contribute no nonzero entries, so the prefix is unaffected).
             row_nnz = np.asarray(row_nnz_d)[: nl * t_max]
             sf_parts.append(np.asarray(sf_d)[:nl])
             total = int(row_nnz.sum())
             need = compact.bucket_entries(total)
-            ne_spec = max(need, ne_spec or 0)
-            if spec_d[idx] is not None and need <= spec_d[idx][1]:
-                entries_d = spec_d[idx][0]
+            _ENTRIES_SPEC[key] = (need, total)
+            if spec is not None and need <= spec[1]:
+                entries_d, _ne, fh, covered = spec
+                if total <= covered:
+                    entries = _rp.fetch_prefix_finish(fh, total)
+                else:
+                    hr = _rp.fetch_range_start(entries_d, covered, total - covered)
+                    head = _rp.fetch_prefix_finish(fh, covered)
+                    tail = _rp.fetch_range_finish(hr, total - covered)
+                    entries = np.concatenate([head, tail])
             else:
                 entries_d = compact.assemble_entries(comp_d, blk_nnz_d, NE=need)
-            # Arm chunk idx+1 now — after this chunk's (possibly exact)
-            # assembly so a miss redispatch isn't queued behind it, but
-            # before this chunk's payload fetch and the next size read.
-            if idx + 1 < len(handles):
-                nxt = handles[idx + 1][1]
-                spec_d[idx + 1] = (
-                    compact.assemble_entries(nxt[0], nxt[1], NE=ne_spec),
-                    ne_spec,
-                )
-            entries = compact.fetch_prefix(entries_d, total)
+                entries = compact.fetch_prefix(entries_d, total)
             cols, vals = compact.split_entries(entries)
             R = nl * t_max
             qq = np.zeros((R, HOP), np.int16)

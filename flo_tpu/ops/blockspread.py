@@ -558,6 +558,80 @@ def fetch_words_finish(h, total_bytes: int) -> np.ndarray:
     return np.ascontiguousarray(w).view(np.uint8)[:total_bytes]
 
 
+#: Last ACTUAL payload byte size per (caller, geometry) key. Dispatch-time
+#: speculative prefetches size themselves from the previous identically-
+#: shaped chunk — bulk content is steady, so after the first chunk the
+#: speculative slice covers the payload and the download streams while the
+#: host is busy collecting OTHER pipelines (tools/pass_timeline.py measured
+#: decode payload fetches starting 2.4-2.6 s after their dispatch because
+#: the fetch waited for collect()'s turn on the single host thread).
+_SPEC_BYTES: dict = {}
+
+#: Master switch for dispatch-time speculative payload prefetch (all four
+#: bulk pipelines consult it). Runtime-mutable for A/B measurement.
+SPEC_PREFETCH = True
+
+
+def fetch_words_spec_start(words_dev, key, cold_estimate: int):
+    """Speculative payload prefetch AT DISPATCH TIME, before the actual
+    payload size is host-readable. Sized from the previous chunk with the
+    same `key` (falling back to `cold_estimate` bytes), bucketed by
+    :data:`ricepack.PREFIX_BUCKET` and clamped to the buffer. Resolve with
+    :func:`fetch_words_spec_finish` — overshoot wastes at most the estimate
+    error + one bucket of wire; undershoot costs one extra tail fetch at
+    collect (what every fetch cost before speculation existed)."""
+    from .ricepack import fetch_prefix_start
+
+    if not SPEC_PREFETCH:
+        return None
+    want = int(_SPEC_BYTES.get(key, cold_estimate))
+    nw = -(-want // 4)
+    h = fetch_prefix_start(words_dev, nw) if nw > 0 else None
+    covered = int(h.shape[0]) * 4 if h is not None else 0
+    return (h, covered, key)
+
+
+def fetch_words_spec_resolve(spec, words_dev, total_bytes: int):
+    """Phase 1 (non-blocking): resolve a dispatch-time speculative prefetch
+    against the ACTUAL payload size — on a partial hit async-start the
+    missing tail, on a cold miss async-start a plain prefix fetch. Records
+    the actual size under the spec's key for the next same-shaped chunk.
+    Block on the result with :func:`fetch_words_spec_collect`."""
+    from .ricepack import fetch_range_start
+
+    h, covered, key = spec if spec is not None else (None, 0, None)
+    if key is not None:
+        _SPEC_BYTES[key] = total_bytes
+    if total_bytes <= 0 or h is None:
+        return (fetch_words_start(words_dev, total_bytes), None, 0, total_bytes)
+    if total_bytes <= covered:
+        return (None, (h, None), covered, total_bytes)
+    lo_w = covered // 4
+    tail_nw = -(-total_bytes // 4) - lo_w
+    hr = fetch_range_start(words_dev, lo_w, tail_nw)
+    return (None, (h, hr), covered, total_bytes)
+
+
+def fetch_words_spec_collect(token) -> np.ndarray:
+    """Phase 2 (blocking): finish the downloads a spec resolve started and
+    return the payload byte stream."""
+    from .ricepack import fetch_range_finish
+
+    plain_h, spec_pair, covered, total_bytes = token
+    if spec_pair is None:
+        return fetch_words_finish(plain_h, total_bytes)
+    h, hr = spec_pair
+    head = np.ascontiguousarray(np.asarray(h)).view(np.uint8)
+    if hr is None:
+        return head[:total_bytes]
+    tail_nw = -(-total_bytes // 4) - covered // 4
+    tail = np.ascontiguousarray(fetch_range_finish(hr, tail_nw)).view(np.uint8)
+    out = np.empty(total_bytes, np.uint8)
+    out[:covered] = head
+    out[covered:] = tail[: total_bytes - covered]
+    return out
+
+
 def pack_lanes_words(residuals, k, nvalid, is_raw, NW: int):
     """Single-call convenience (stage1 + stage2 at a caller-chosen NW);
     the production pipelines split the stages to size NW from the downloaded

@@ -64,3 +64,35 @@ def fetch_prefix_finish(h, nelems: int) -> np.ndarray:
 def fetch_prefix(arr, nbytes: int) -> np.ndarray:
     """Download the first nbytes of a device byte buffer (bucketed slice)."""
     return fetch_prefix_finish(fetch_prefix_start(arr, nbytes), nbytes)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _take_range(arr, lo, n: int):
+    # dynamic_slice clamps lo to cap-n; the caller recomputes the clamped
+    # start and offsets into the result, so the clamp is harmless.
+    return jax.lax.dynamic_slice_in_dim(arr, lo, n)
+
+
+def fetch_range_start(arr, lo_elems: int, nelems: int):
+    """Dispatch + async-start a download of arr[lo : lo+nelems] (bucketed
+    length, dynamic start — one compiled program per length bucket, not per
+    offset). Finish with :func:`fetch_range_finish`. Returns None when the
+    range is empty."""
+    if nelems <= 0:
+        return None
+    from ..futures import start_host_copy
+
+    cap = arr.shape[0]
+    step = max(PREFIX_BUCKET // max(arr.dtype.itemsize, 1), 1)
+    n = min(-(-nelems // step) * step, cap)
+    lo_clamped = min(max(lo_elems, 0), cap - n)
+    h = _take_range(arr, lo_clamped, n)
+    start_host_copy(h)
+    return (h, lo_elems - lo_clamped)
+
+
+def fetch_range_finish(hr, nelems: int) -> np.ndarray:
+    if hr is None:
+        return np.zeros(0, np.uint8)
+    h, skip = hr
+    return np.asarray(h)[skip : skip + nelems]

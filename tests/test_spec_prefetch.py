@@ -1,0 +1,160 @@
+"""Dispatch-time speculative payload prefetch (ops/blockspread spec API).
+
+The bulk pipelines start their payload downloads AT DISPATCH, sized from the
+previous same-shaped chunk (`blockspread._SPEC_BYTES` /
+`lossy.encoder._ENTRIES_SPEC`). These tests drive every resolve outcome —
+cold miss, exact hit, overshoot, undershoot (tail fetch), poisoned cache —
+and require byte-identical results, plus the range-fetch primitive's clamp
+semantics (ricepack.fetch_range_start).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from flo_tpu.container import reader as _reader
+from flo_tpu.lossless import decoder as lld
+from flo_tpu.lossless import encoder as lle
+from flo_tpu.lossy import decoder as lod
+from flo_tpu.lossy import encoder as loe
+from flo_tpu.ops import blockspread as bs
+from flo_tpu.ops import ricepack as rp
+
+
+def _clips(n=3, seconds=2, rate=8000):
+    rng = np.random.default_rng(11)
+    t = np.arange(seconds * rate) / rate
+    out = []
+    for i in range(n):
+        l = np.clip(
+            0.5 * np.sin(2 * np.pi * (180 + 40 * i) * t)
+            + 0.05 * rng.standard_normal(t.size),
+            -1, 1,
+        )
+        s = np.empty(2 * t.size, np.float32)
+        s[0::2] = l
+        s[1::2] = l[::-1]
+        out.append(s)
+    return out, rate
+
+
+class TestRangeFetch:
+    def test_range_matches_slice(self):
+        arr = jnp.arange(100000, dtype=jnp.uint32)
+        host = np.asarray(arr)
+        for lo, n in ((0, 10), (17, 4096), (99990, 10), (50000, 50000)):
+            hr = rp.fetch_range_start(arr, lo, n)
+            got = rp.fetch_range_finish(hr, n)
+            np.testing.assert_array_equal(got, host[lo : lo + n])
+
+    def test_range_clamp_at_cap(self):
+        # lo + bucketed n exceeds the buffer: the dynamic slice clamps its
+        # start and the finish compensates with the recorded skip.
+        arr = jnp.arange(1 << 16, dtype=jnp.uint32)
+        host = np.asarray(arr)
+        lo = (1 << 16) - 7
+        hr = rp.fetch_range_start(arr, lo, 7)
+        np.testing.assert_array_equal(rp.fetch_range_finish(hr, 7), host[lo:])
+
+    def test_empty_range(self):
+        arr = jnp.arange(16, dtype=jnp.uint32)
+        assert rp.fetch_range_start(arr, 3, 0) is None
+        assert rp.fetch_range_finish(None, 0).size == 0
+
+
+class TestSpecResolve:
+    def _roundtrip(self, rows):
+        from flo_tpu.ops import blockpack
+
+        nvalid = jnp.full(rows.shape[0], rows.shape[1], jnp.int32)
+        stage, words, modes, widths, lane_bytes, lane_off = (
+            blockpack.pack_rows_fused(jnp.asarray(rows), nvalid)
+        )
+        lb = np.asarray(lane_bytes).astype(np.int64)
+        total = int(lb.sum())
+        return words, total, modes, widths, lb
+
+    def test_hit_tail_and_cold_byte_identical(self):
+        from flo_tpu.ops import blockpack
+
+        rng = np.random.default_rng(5)
+        rows = rng.integers(-3000, 3000, (8, 2048), np.int32).astype(np.int32)
+        words, total, modes, widths, lb = self._roundtrip(rows)
+        key = ("test", 8, 2048)
+
+        def fetch(spec_bytes):
+            bs._SPEC_BYTES.pop(key, None)
+            spec = bs.fetch_words_spec_start(words, key, spec_bytes)
+            token = bs.fetch_words_spec_resolve(spec, words, total)
+            out = bs.fetch_words_spec_collect(token)
+            assert bs._SPEC_BYTES[key] == total
+            return bytes(out)
+
+        cold = bytes(
+            bs.fetch_words_spec_collect(
+                bs.fetch_words_spec_resolve(None, words, total)
+            )
+        )
+        assert len(cold) == total
+        assert fetch(total) == cold          # exact hit
+        assert fetch(total * 4) == cold      # overshoot hit
+        assert fetch(max(4, total // 3)) == cold  # undershoot -> tail fetch
+        assert fetch(0) == cold              # zero spec -> plain route
+
+        # The byte stream itself must round-trip through the host parser.
+        lane_off_dl = np.concatenate([[0], np.cumsum(lb)])[:-1]
+        got = blockpack.unpack_host(
+            np.frombuffer(cold + b"\0" * blockpack.PAD_BYTES, np.uint8),
+            np.asarray(modes), np.asarray(widths), lane_off_dl,
+            np.full(8, 2048, np.int64), 2048,
+        )
+        np.testing.assert_array_equal(got, rows)
+
+    def test_disabled_switch_means_plain_route(self):
+        rows = np.ones((2, 512), np.int32)
+        words, total, *_ = self._roundtrip(rows)
+        old = bs.SPEC_PREFETCH
+        bs.SPEC_PREFETCH = False
+        try:
+            assert bs.fetch_words_spec_start(words, ("k",), 123) is None
+            token = bs.fetch_words_spec_resolve(None, words, total)
+            assert len(bs.fetch_words_spec_collect(token)) == total
+        finally:
+            bs.SPEC_PREFETCH = old
+
+
+class TestPoisonedCaches:
+    """End-to-end: corrupt every learned spec size and require the bulk
+    pipelines to still emit byte-identical containers and samples."""
+
+    @pytest.mark.parametrize("scale", [0.03, 0.5, 8.0])
+    def test_lossless_pipelines(self, scale):
+        clips, rate = _clips()
+        ref = lle.encode_many(clips, rate, 2, 16, 5)
+        ref_out = lld.decode_many([_reader.read(d) for d in ref])
+        for k in list(bs._SPEC_BYTES):
+            bs._SPEC_BYTES[k] = max(4, int(bs._SPEC_BYTES[k] * scale))
+        enc = lle.encode_many(clips, rate, 2, 16, 5)
+        out = lld.decode_many([_reader.read(d) for d in enc])
+        assert [bytes(a) for a in enc] == [bytes(a) for a in ref]
+        assert all(np.array_equal(a, b) for a, b in zip(out, ref_out))
+
+    def test_lossy_pipelines(self):
+        clips, rate = _clips()
+        ref = loe.encode_many(clips, rate, 2, 0.55, transport_dtype="packed")
+        ref_out = lod.decode_many([_reader.read(d) for d in ref])
+        # Bucket too small -> assembly redispatch; prefetch short -> tail.
+        for k in list(loe._ENTRIES_SPEC):
+            loe._ENTRIES_SPEC[k] = (64, 40)
+        enc = loe.encode_many(clips, rate, 2, 0.55, transport_dtype="packed")
+        assert [bytes(a) for a in enc] == [bytes(a) for a in ref]
+        for k in list(loe._ENTRIES_SPEC):
+            ne, tot = loe._ENTRIES_SPEC[k]
+            loe._ENTRIES_SPEC[k] = (ne, max(1, tot // 3))
+        enc2 = loe.encode_many(clips, rate, 2, 0.55, transport_dtype="packed")
+        assert [bytes(a) for a in enc2] == [bytes(a) for a in ref]
+        for k in list(bs._SPEC_BYTES):
+            bs._SPEC_BYTES[k] = 4
+        out = lod.decode_many([_reader.read(d) for d in enc2])
+        assert all(np.array_equal(a, b) for a, b in zip(out, ref_out))
