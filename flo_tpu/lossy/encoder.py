@@ -27,7 +27,23 @@ from .sparse import serialize_sparse
 #: Last (entry-count bucket, actual entry count) per chunk-geometry key —
 #: sizes the dispatch-time speculative assembly + entries prefetch (see
 #: encode_many_to_frames_async; same idea as blockspread._SPEC_BYTES).
+#: Invariant: values are SIZE HINTS only — any stale/garbage value may cost
+#: a redispatch or a tail fetch but never changes emitted bytes
+#: (tests/test_spec_prefetch.py drives every resolve outcome). Bounded by
+#: _SPEC_CAP; reset between tests via reset_spec_cache().
 _ENTRIES_SPEC: dict = {}
+_SPEC_CAP = 1024
+
+
+def _set_entries_spec(key, value) -> None:
+    if len(_ENTRIES_SPEC) >= _SPEC_CAP and key not in _ENTRIES_SPEC:
+        _ENTRIES_SPEC.clear()  # geometry keys are few; a full reset is fine
+    _ENTRIES_SPEC[key] = value
+
+
+def reset_spec_cache() -> None:
+    """Clear the speculative-sizing cache (test isolation hook)."""
+    _ENTRIES_SPEC.clear()
 
 BLOCK = mdct.LONG_N  # always Long/2048 + Vorbis (encoder.rs:36-53)
 HOP = BLOCK // 2
@@ -312,15 +328,37 @@ def encode_many_to_frames_async(
         # (~15 ms — every device->host read pays it) overlaps execution.
         # A miss (bucket too small) just redispatches at the exact size;
         # an undershot prefetch fetches only the missing tail.
+        from ..ops import blockspread as _bs2
+
         q_parts, sf_parts = [], []
-        for nl, (comp_d, blk_nnz_d, row_nnz_d, sf_d), key, spec in handles:
+        last_learned = None  # (NE bucket, total) from an earlier chunk THIS call
+        for idx, (nl, (comp_d, blk_nnz_d, row_nnz_d, sf_d), key, spec) in enumerate(handles):
+            # Within-call arming: when the NEXT chunk's dispatch-time spec
+            # was cold (no same-shaped chunk seen by any previous call), arm
+            # it from the size this call just learned — its assembly +
+            # entries prefetch then overlap THIS chunk's size download and
+            # host packing, which is the overlap speculation exists to buy.
+            if (
+                last_learned is not None
+                and last_learned[1] > 0
+                and idx + 1 < len(handles)
+                and handles[idx + 1][3] is None
+                and _bs2.SPEC_PREFETCH
+            ):
+                ne_c, tot_c = last_learned
+                nl2, h2, key2, _ = handles[idx + 1]
+                ed2 = compact.assemble_entries(h2[0], h2[1], NE=ne_c)
+                fh2 = _rp.fetch_prefix_start(ed2, tot_c)
+                cov2 = int(fh2.shape[0]) if fh2 is not None else 0
+                handles[idx + 1] = (nl2, h2, key2, (ed2, ne_c, fh2, cov2))
             # [:nl...]: drop inert mesh-padding lanes (zero rows at the tail
             # contribute no nonzero entries, so the prefix is unaffected).
             row_nnz = np.asarray(row_nnz_d)[: nl * t_max]
             sf_parts.append(np.asarray(sf_d)[:nl])
             total = int(row_nnz.sum())
             need = compact.bucket_entries(total)
-            _ENTRIES_SPEC[key] = (need, total)
+            _set_entries_spec(key, (need, total))
+            last_learned = (need, total)
             if spec is not None and need <= spec[1]:
                 entries_d, _ne, fh, covered = spec
                 if total <= covered:

@@ -565,7 +565,17 @@ def fetch_words_finish(h, total_bytes: int) -> np.ndarray:
 #: host is busy collecting OTHER pipelines (tools/pass_timeline.py measured
 #: decode payload fetches starting 2.4-2.6 s after their dispatch because
 #: the fetch waited for collect()'s turn on the single host thread).
+#: Invariant: values are SIZE HINTS only — a stale/garbage value costs an
+#: extra tail fetch or wasted wire but never changes results
+#: (tests/test_spec_prefetch.py). Bounded by _SPEC_CAP; reset between
+#: tests via reset_spec_cache().
 _SPEC_BYTES: dict = {}
+_SPEC_CAP = 1024
+
+
+def reset_spec_cache() -> None:
+    """Clear the speculative-sizing cache (test isolation hook)."""
+    _SPEC_BYTES.clear()
 
 #: Master switch for dispatch-time speculative payload prefetch (all four
 #: bulk pipelines consult it). Runtime-mutable for A/B measurement.
@@ -601,6 +611,8 @@ def fetch_words_spec_resolve(spec, words_dev, total_bytes: int):
 
     h, covered, key = spec if spec is not None else (None, 0, None)
     if key is not None:
+        if len(_SPEC_BYTES) >= _SPEC_CAP and key not in _SPEC_BYTES:
+            _SPEC_BYTES.clear()  # geometry keys are few; full reset is fine
         _SPEC_BYTES[key] = total_bytes
     if total_bytes <= 0 or h is None:
         return (fetch_words_start(words_dev, total_bytes), None, 0, total_bytes)

@@ -42,14 +42,44 @@ import pathlib
 import pytest
 
 REFERENCE_DIR = pathlib.Path("/root/reference")
-EXAMPLES_DIR = REFERENCE_DIR / "Examples"
+#: Conformance corpus: prefer the live reference checkout, fall back to the
+#: committed copy (tests/vectors/README.md) so CI on a repo-only checkout
+#: still exercises the bit-exactness contract instead of skipping.
+_CANDIDATE_EXAMPLE_DIRS = (
+    REFERENCE_DIR / "Examples",
+    pathlib.Path(__file__).parent / "vectors" / "examples",
+)
+EXAMPLES_DIR = (
+    pathlib.Path(os.environ["FLO_TPU_EXAMPLES_DIR"])
+    if os.environ.get("FLO_TPU_EXAMPLES_DIR")
+    else next(
+        (d for d in _CANDIDATE_EXAMPLE_DIRS if d.is_dir()), _CANDIDATE_EXAMPLE_DIRS[0]
+    )
+)
 
 
 @pytest.fixture(scope="session")
 def examples_dir():
     if not EXAMPLES_DIR.is_dir():
-        pytest.skip("reference Examples corpus not available")
+        pytest.skip("conformance corpus not available")
     return EXAMPLES_DIR
+
+
+@pytest.fixture(autouse=True)
+def _reset_spec_caches():
+    """Clear the speculative-sizing caches before every test.
+
+    The bulk pipelines learn payload/entry sizes in module-global dicts
+    (`blockspread._SPEC_BYTES`, `lossy.encoder._ENTRIES_SPEC`). The values
+    are correctness-neutral size hints, but tests that count dispatches
+    (tests/test_bulk.py speculative-bucket contracts) depend on a cold
+    cache, so isolate every test."""
+    from flo_tpu.lossy import encoder as _loe
+    from flo_tpu.ops import blockspread as _bs
+
+    _bs.reset_spec_cache()
+    _loe.reset_spec_cache()
+    yield
 
 
 @pytest.fixture(scope="module", autouse=True)
