@@ -158,10 +158,10 @@ def decode(data: bytes) -> np.ndarray:
     return decode_file(reader.read(data))
 
 
-@partial(jax.jit, static_argnames=("channels", "S"))
+@partial(jax.jit, static_argnames=("channels", "S", "up_kmax"))
 def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
                      orders, is_fixed, mid_side, lane_nvalid,
-                     channels: int, S: int):
+                     channels: int, S: int, up_kmax: int = 4):
     """Block-packed decode step: residual lanes in AND reconstructed PCM
     out through the bit-plane blockpack transport (compressed-size payloads,
     no per-code indexed ops in either direction — one 8-word-row scatter
@@ -170,7 +170,7 @@ def _decode_lanes_bp(buf, up_modes, up_widths, up_off, coeffs, shifts,
     size download sits on the device stream between phases. The only
     sequential device work left is the reconstruction recurrence itself."""
     rows = blockpack.unpack_rows(
-        buf, up_modes, up_widths, up_off, lane_nvalid, S
+        buf, up_modes, up_widths, up_off, lane_nvalid, S, kmax=up_kmax
     )
     samples = lpc.reconstruct_best(rows, coeffs, shifts, orders, is_fixed)
     fcs = samples.reshape(-1, channels, S)
@@ -272,6 +272,12 @@ def decode_many_async(flos: list[FloFile], mesh=None) -> BulkFuture:
                 pb(padf(orders[lo:hi], pad_l)), pb(padf(is_fixed[lo:hi], pad_l)),
                 pb(padf(mid_side[flo_f:fhi_f], pad_f)),
                 pb(padf(lane_nvalid[lo:hi], pad_l)), channels, S_max,
+                # Static cumsum depth for the residual unpack: the host
+                # packer just chose the modes, so the highest order is
+                # known here (residual content rarely exceeds 2 — see
+                # tools/decode_ab_r5.py; each skipped order saves one
+                # [L, S] cumsum pass in the decode step).
+                up_kmax=int(up_modes.max()) if len(up_modes) else 0,
             )
             # Small outputs (modes/widths/bytes) start their host copy now
             # (ready when compute ends). The payload prefix fetch ALSO

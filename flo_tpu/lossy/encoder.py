@@ -123,15 +123,17 @@ def _encode_padded_compact(padded, sample_rate: int, thr):
     return comp, blk_nnz, row_nnz, sf
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "W"))
+@partial(jax.jit, static_argnames=("sample_rate", "W", "up_kmax"))
 def _encode_packed_compact(buf, modes, widths, lane_off, nvalid,
-                           sample_rate: int, thr, W: int):
+                           sample_rate: int, thr, W: int, up_kmax: int = 4):
     """_encode_padded_compact fed by a block-packed i16 PCM upload
     (ops/blockpack): the input crosses the wire at compressed size and the
-    device recovers the [L, W] signal scan-free (gather/shift/mask)."""
+    device recovers the [L, W] signal scan-free (gather/shift/mask).
+    up_kmax: static highest difference order the host pack chose (each
+    skipped order saves one [L, W] cumsum pass — see blockpack.unpack_rows)."""
     from ..ops import blockpack
 
-    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W)
+    rows = blockpack.unpack_rows(buf, modes, widths, lane_off, nvalid, W, kmax=up_kmax)
     padded = rows.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
     return _encode_padded_compact(padded, sample_rate, thr)
 
@@ -164,6 +166,7 @@ def _dispatch_packed(rows, used, sample_rate: int, thr, mesh=None):
         pb(padf(widths)), pb(off_padded),
         pb(padf(used.astype(np.int32))), int(sample_rate),
         _pp.put_replicated(thr, mesh), W,
+        up_kmax=int(modes.max()) if len(modes) else 0,
     )
 
 

@@ -460,11 +460,18 @@ def unpack_f32_into(
         )
 
 
-def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
+def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int, kmax: int = 4):
     """Device inverse of pack_host -> [L, S] int32 (zeros past nvalid).
 
     buf: [B] u8 (>= total + PAD_BYTES, B a multiple of 32); widths: [L, NB]
     u8 (NB covers S); modes: [L]; lane_off: [L] byte offsets; nvalid: [L].
+
+    kmax (STATIC): highest difference order present in `modes`. The host
+    packer knows it at dispatch (``int(modes.max())``), and each difference
+    order costs one [L, S] cumsum pass here — residual uploads rarely pick
+    order > 2 (round-5 A/B, tools/decode_ab_r5.py: every lane picked 2 on
+    corpus content; passing kmax cut the full decode step 33.2 -> 31.0 ms).
+    Bounded compile variants: kmax in 0..4.
 
     NO indexed scatter anywhere — the whole unpack is one aligned bit
     transpose plus two block-row gathers:
@@ -525,7 +532,7 @@ def unpack_rows(buf, modes, widths, lane_off, nvalid, S: int):
     v = ((z >> 1) ^ (-(z & 1).astype(jnp.int32)).astype(jnp.uint32)).astype(jnp.int32)
     out = v
     acc = v
-    for k in range(1, 5):
+    for k in range(1, kmax + 1):
         acc = jnp.cumsum(acc, axis=1, dtype=jnp.int32)
         out = jnp.where((modes == k)[:, None], acc, out)
     valid = jnp.arange(S, dtype=jnp.int32)[None, :] < nvalid.astype(jnp.int32)[:, None]
