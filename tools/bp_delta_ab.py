@@ -10,6 +10,14 @@ wire) vs the full order-4 family, so the wire-size win is a recorded
 number rather than a claim.
 
 Pure host math (the C++/numpy analyzer), no TPU needed.
+
+RESULT (round 5, 2026-08-19, committed as the negative answer to VERDICT
+r4 item #7): the per-block order pick is a WASH — per_block_shrink_vs_lane
+measured 0.999 (corpus chord), 1.005 (sweep), 0.998 (hires), 0.999
+(noise). The per-lane transform already captures the content's structure
+because block WIDTHS are per-block anyway: a transient block pays a wide
+width under either scheme, and the 3-bit/block mode table eats the sub-1%
+payload savings. Not implemented; the per-lane wire stays.
 """
 
 from __future__ import annotations
@@ -41,6 +49,29 @@ def bits_per_sample(rows: np.ndarray, max_order: int) -> float:
     return float(8 * total_bytes / rows.size)
 
 
+def bits_per_sample_per_block(rows: np.ndarray, max_order: int) -> float:
+    """Round-5 what-if (VERDICT r4 #7): pick the transform order PER
+    256-sample BLOCK instead of per lane — each block stores the codes of
+    whichever difference order gives it the narrowest width, with the
+    difference chains running continuously across block boundaries (so the
+    inverse would carry up to `order` integration constants between blocks;
+    this tool only measures the payload, the mode side-table is charged at
+    3 bits/block below). This is the upper bound a per-block wire could
+    reach — mixed content (transient + tonal inside one second) pays the
+    worse of the two under the per-lane pick."""
+    nvalid = np.full(rows.shape[0], rows.shape[1], np.int64)
+    nblk = blockpack.nblocks(rows.shape[1])
+    ds, _ = blockpack._np_transform(rows, nvalid, nblk)
+    widths = np.stack([
+        blockpack._np_widths(blockpack._np_zigzag(d), nblk).astype(np.int64)
+        for d in ds[: max_order + 1]
+    ])  # [orders, L, NB] block widths
+    best_w = widths.min(axis=0)  # [L, NB]
+    payload_bits = 8 * 32 * best_w.sum()
+    mode_table_bits = 3 * best_w.size  # one order id per block
+    return float((payload_bits + mode_table_bits) / rows.size)
+
+
 def lanes_from_interleaved(clip: np.ndarray, channels: int, rate: int):
     """Frame interleaved f32 into the decoder's lane geometry ([lanes, 1s])
     in the i16 PCM domain — exactly what the download wire carries."""
@@ -66,10 +97,13 @@ def main() -> None:
         rows = lanes_from_interleaved(np.asarray(clip, np.float32), ch, rate)
         b2 = bits_per_sample(rows, 2)
         b4 = bits_per_sample(rows, 4)
+        bpb = bits_per_sample_per_block(rows, 4)
         out[name] = {
             "bits_per_sample_order2": round(b2, 3),
             "bits_per_sample_order4": round(b4, 3),
             "shrink": round(b2 / b4, 3),
+            "bits_per_sample_per_block": round(bpb, 3),
+            "per_block_shrink_vs_lane": round(b4 / bpb, 3),
         }
     print(json.dumps(out, indent=1))
 
