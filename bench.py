@@ -586,7 +586,12 @@ def main() -> None:
     t0 = time.time()
     stream_encode_all()
     configs["streaming_encode"] = {
-        "value": round(WORKLOAD_SECONDS / (time.time() - t0), 1)
+        "value": round(WORKLOAD_SECONDS / (time.time() - t0), 1),
+        # Levinson-predicted LPC prune (StreamingEncoder.lpc_prune_topk=2,
+        # native/encode.cpp prune_topk): r5 corpus A/B in
+        # tools/stream_enc_ab.py measured ~210x -> ~295x with BYTE-IDENTICAL
+        # output vs the full search (r04's 222.8x ran the full search).
+        "note": "lpc_prune_topk=2 (r5 A/B: byte-identical, ~210->~295x)",
     }
 
     # Streaming decode (host state machine, frame-at-a-time).

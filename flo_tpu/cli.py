@@ -10,6 +10,7 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import os
 import sys
 
 import numpy as np
@@ -446,6 +447,12 @@ def main(argv=None) -> int:
     except FileNotFoundError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        # `flo info file | head` closes our stdout mid-print; exit quietly
+        # like any well-behaved unix filter (os.devnull swap stops the
+        # interpreter-shutdown flush from raising a second time).
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 0
 
 
 if __name__ == "__main__":

@@ -649,7 +649,7 @@ def _encode_frames_host_file(
 
 def encode_frame_host(
     samples: np.ndarray, sample_rate: int, channels: int,
-    compression_level: int = 5,
+    compression_level: int = 5, prune_lpc: int = 0,
 ):
     """Encode ONE frame's interleaved f32 samples entirely on the host:
     C++ candidate search (native/encode.cpp) + C++ Rice pack. The per-frame
@@ -695,7 +695,7 @@ def encode_frame_host(
     kinds, cand_orders, max_order = _candidate_plan(compression_level)
     use_lpc = any(kd == "lpc" for kd in kinds)
     out = native.lossless_search_batch(
-        ch, np.full(C, n, np.int64), max_order, use_lpc
+        ch, np.full(C, n, np.int64), max_order, use_lpc, prune_lpc
     )
     if out is None:
         return None

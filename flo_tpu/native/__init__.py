@@ -95,7 +95,7 @@ _SIGNATURES = {
     "encode": {
         "lossless_search_batch": [
             _i32p, ctypes.c_int64, ctypes.c_int64, _i64p,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _i32p, _i32p, _i32p, _i32p, _i32p, _i64p, _i32p,
         ],
     },
@@ -644,12 +644,18 @@ def sparse_decode_entries(blobs, width: int):
 
 
 def lossless_search_batch(lanes: np.ndarray, nvalid: np.ndarray,
-                          max_order: int, use_lpc: bool):
+                          max_order: int, use_lpc: bool,
+                          prune_lpc: int = 0):
     """C++ per-lane best-of-N candidate search (encoder.rs:173-217 + lpc.rs).
 
     lanes: [L, S] int32 (mid/side domain); nvalid: [L] int64. Returns
     (sel_kind [L] 0=raw/1=fixed/2=lpc, sel_order, k, coeffs [L,12], shift,
     size_bytes [L] i64, residuals [L, S] i32) or None without a toolchain.
+
+    prune_lpc=0 evaluates the full LPC order set (byte parity with the
+    reference search); K>0 evaluates only the K best PREDICTED orders from
+    the Levinson prediction error (see encode.cpp) — the streaming
+    encoder's latency knob, never used where byte parity is asserted.
     """
     lib = _load("encode")
     if lib is None:
@@ -667,7 +673,7 @@ def lossless_search_batch(lanes: np.ndarray, nvalid: np.ndarray,
     if L:
         lib.lossless_search_batch(
             _ptr(lanes, ctypes.c_int32), L, S, _ptr(nvalid, ctypes.c_int64),
-            int(max_order), int(bool(use_lpc)),
+            int(max_order), int(bool(use_lpc)), int(prune_lpc),
             _ptr(sel_kind, ctypes.c_int32), _ptr(sel_order, ctypes.c_int32),
             _ptr(k, ctypes.c_int32), _ptr(coeffs, ctypes.c_int32),
             _ptr(shift, ctypes.c_int32), _ptr(size, ctypes.c_int64),

@@ -127,9 +127,25 @@ extern "C" {
 // use_lpc) LPC 5..max_order. Outputs: sel_kind (0 raw / 1 fixed / 2 lpc),
 // sel_order, k, coeffs [L, 12], shift, size_bytes, residuals [L, S]
 // (raw winners: verbatim samples).
+//
+// prune_topk: 0 evaluates EVERY LPC order (the reference's full search,
+// encoder.rs:173-217 — required for byte parity); K > 0 evaluates only the
+// K orders with the best PREDICTED size. The predictor is the classic
+// Levinson one (the recursion's prediction error eps_o is a byproduct):
+//   predicted_bits(o) = n/2 * log2(eps_o) + 32*o
+// (expected Rice payload ~ n*log2(E|r|) with E|r| ~ sqrt(eps_o/n); the
+// n/2*log2(n) term is constant across orders and dropped; 32*o charges the
+// stored i32 coefficients). Residuals, k, and the exact byte size are still
+// computed for every SURVIVING candidate, and selection among survivors is
+// unchanged (ascending order, strict-<) — pruning can only trade a
+// near-tied candidate for its neighbor, never emit wrong bytes. The
+// streaming encoder uses K=2: the o(n) residual+size passes are ~75% of
+// its frame cost, and the r5 corpus A/B (tools/stream_enc_ab.py) measured
+// ~210x -> ~295x realtime with byte-identical output (the predicted top-2
+// contained the true winner on every frame).
 void lossless_search_batch(
     const int32_t* lanes, int64_t L, int64_t S, const int64_t* nvalid,
-    int32_t max_order, int32_t use_lpc,
+    int32_t max_order, int32_t use_lpc, int32_t prune_topk,
     int32_t* sel_kind, int32_t* sel_order, int32_t* k_out,
     int32_t* coeffs_out, int32_t* shift_out, int64_t* size_out,
     int32_t* residuals_out) {
@@ -175,6 +191,15 @@ void lossless_search_batch(
                 ac[lag] = (double)acc;
             }
             // Levinson-Durbin, every order (ops/lpc.levinson_durbin_all_orders).
+            // Pass 1 collects quantized candidates + predicted sizes — the
+            // recursion itself is O(order^2), trivially cheap next to the
+            // O(n*order) residual passes it lets prune_topk skip.
+            struct Cand {
+                int order, shift;
+                int32_t cq[MAX_ORDER];
+                double pred_bits;
+            } cands[MAX_ORDER];
+            int ncand = 0;
             double coeffs[MAX_ORDER] = {0};
             double error = ac[0];
             bool alive = ac[0] != 0.0;
@@ -206,15 +231,43 @@ void lossless_search_batch(
                 double shf = std::floor(std::log2((double)(1 << 30) / max_c));
                 int shift = shf < 0 ? 0 : (shf > 15 ? 15 : (int)shf);
                 double scale = std::ldexp(1.0, shift);
-                int32_t cq[MAX_ORDER] = {0};
+                Cand& cd = cands[ncand++];
+                cd.order = order;
+                cd.shift = shift;
+                std::memset(cd.cq, 0, sizeof(cd.cq));
                 for (int j = 0; j < order; ++j) {
                     double sc = coeffs[j] * scale;
                     double q = (sc >= 0 ? std::floor(sc + 0.5) : -std::floor(-sc + 0.5));
                     if (q > 2147483647.0) q = 2147483647.0;
                     if (q < -2147483648.0) q = -2147483648.0;
-                    cq[j] = (int32_t)q;
+                    cd.cq[j] = (int32_t)q;
                 }
-                int32_t max_wa = lpc_residuals(s, n, cq, order, shift, tmp);
+                double eps = error > 1e-30 ? error : 1e-30;
+                cd.pred_bits = 0.5 * (double)n * std::log2(eps) + 32.0 * order;
+            }
+
+            // Optional prune: keep the prune_topk smallest predicted sizes
+            // (ties break to the LOWER order — candidates are ascending, so
+            // the stable scan below does that naturally).
+            bool keep[MAX_ORDER];
+            for (int c = 0; c < ncand; ++c) keep[c] = true;
+            if (prune_topk > 0 && ncand > prune_topk) {
+                for (int c = 0; c < ncand; ++c) keep[c] = false;
+                for (int pick = 0; pick < prune_topk; ++pick) {
+                    int bi = -1;
+                    for (int c = 0; c < ncand; ++c)
+                        if (!keep[c] && (bi < 0 || cands[c].pred_bits < cands[bi].pred_bits))
+                            bi = c;
+                    keep[bi] = true;
+                }
+            }
+
+            // Pass 2: exact residuals + Rice size for survivors, in the
+            // reference's ascending evaluation order with strict-<.
+            for (int c = 0; c < ncand; ++c) {
+                if (!keep[c]) continue;
+                const Cand& cd = cands[c];
+                int32_t max_wa = lpc_residuals(s, n, cd.cq, cd.order, cd.shift, tmp);
                 // encoder.rs:269-271: reject unstable fits (> 1_000_000).
                 // A residual of i32::MIN has wrapping-abs i32::MIN < 0 and
                 // never raises max_wa — the candidate stays accepted, which
@@ -225,10 +278,10 @@ void lossless_search_batch(
                 if (size < best_size) {
                     best_size = size;
                     best_kind = 2;
-                    best_order = order;
+                    best_order = cd.order;
                     best_k = k;
-                    best_shift = shift;
-                    std::memcpy(best_coeffs, cq, sizeof(best_coeffs));
+                    best_shift = cd.shift;
+                    std::memcpy(best_coeffs, cd.cq, sizeof(best_coeffs));
                     std::memcpy(win_r, tmp, sizeof(int32_t) * (size_t)n);
                     if (n < S)
                         std::memset(win_r + n, 0, sizeof(int32_t) * (size_t)(S - n));

@@ -26,6 +26,18 @@ from .types import EncodedFrame
 
 
 class StreamingEncoder:
+    #: LPC candidate orders the per-frame host search fully evaluates: the
+    #: 2 best PREDICTED by the Levinson prediction error (native/encode.cpp
+    #: prune_topk). The o(n) residual+size passes for 8 LPC orders are ~75%
+    #: of a streaming frame's cost; the r5 A/B (tools/stream_enc_ab.py,
+    #: corpus content) measured ~210x -> ~295x realtime at K=2 with
+    #: BYTE-IDENTICAL output (the predicted top-2 contained the true winner
+    #: on every frame; K=3 was 255x, also byte-identical). Round-trips stay
+    #: bit-exact regardless of K — every candidate is a valid predictor,
+    #: only the CHOICE is pruned, so a miss costs bytes, never correctness.
+    #: Set to 0 to restore the full reference search.
+    lpc_prune_topk = 2
+
     def __init__(self, sample_rate: int, channels: int, bit_depth: int = 16) -> None:
         self.sample_rate = int(sample_rate)
         self.channels = int(channels)
@@ -59,7 +71,8 @@ class StreamingEncoder:
         # C++ host search (native/encode.cpp) and fall back to the device
         # path without a toolchain — same split as StreamingDecoder.
         frame = lossless_encoder.encode_frame_host(
-            chunk, self.sample_rate, self.channels, self.compression_level
+            chunk, self.sample_rate, self.channels, self.compression_level,
+            prune_lpc=self.lpc_prune_topk,
         )
         if frame is None:
             frames = lossless_encoder.encode_to_frames(

@@ -203,6 +203,28 @@ class TestStreamingEncoder:
         assert f is not None and f.samples == 400
         assert enc.pending_samples() == 0
 
+    def test_lpc_prune_is_correctness_neutral(self):
+        """The streaming encoder's Levinson-predicted LPC prune (top-K
+        evaluated orders, native/encode.cpp prune_topk) may only trade
+        bytes, never samples: pruned files must decode bit-identically to
+        full-search files, and on ordinary tonal content the predicted
+        top-2 should contain the true winner (byte-equal here)."""
+        rate = 4000
+        rng = np.random.default_rng(11)
+        s = (0.4 * np.sin(np.arange(rate * 3) * 0.07)
+             + 0.01 * rng.standard_normal(rate * 3)).astype(np.float32)
+
+        def enc(prune):
+            e = StreamingEncoder(rate, 1)
+            e.lpc_prune_topk = prune
+            e.push_samples(s)
+            return e.finalize()
+
+        full, pruned = enc(0), enc(2)
+        np.testing.assert_array_equal(flo_tpu.decode(pruned), flo_tpu.decode(full))
+        np.testing.assert_array_equal(flo_tpu.decode(full), flo_tpu.decode(flo_tpu.encode(s, rate, 1, analyze=False)))
+        assert pruned == full  # tonal content: top-2 predicted held the winner
+
     def test_stereo_streaming_encoder(self):
         rate = 1500
         l, r = sine(100, rate, 1.7), sine(130, rate, 1.7)
