@@ -333,7 +333,7 @@ def encode_many_to_frames_async(
         # an undershot prefetch fetches only the missing tail.
         from ..ops import blockspread as _bs2
 
-        q_parts, sf_parts = [], []
+        ent_parts, sf_parts = [], []
         last_learned = None  # (NE bucket, total) from an earlier chunk THIS call
         for idx, (nl, (comp_d, blk_nnz_d, row_nnz_d, sf_d), key, spec) in enumerate(handles):
             # Within-call arming: when the NEXT chunk's dispatch-time spec
@@ -374,20 +374,32 @@ def encode_many_to_frames_async(
             else:
                 entries_d = compact.assemble_entries(comp_d, blk_nnz_d, NE=need)
                 entries = compact.fetch_prefix(entries_d, total)
-            cols, vals = compact.split_entries(entries)
-            R = nl * t_max
-            qq = np.zeros((R, HOP), np.int16)
-            if len(cols):
-                qq[np.repeat(np.arange(R), row_nnz), cols] = vals
-            q_parts.append(qq.reshape(nl, t_max, HOP))
-        q = np.concatenate(q_parts)  # [N*C, T, 1024]
+            ent_parts.append((entries, row_nnz))
         sf_u16 = encode_sf_u16(np.concatenate(sf_parts))
 
-        # One native sparse-RLE pass over every (lane, hop) row.
+        # One native sparse-RLE pass straight from the CSR entries — the
+        # dense [rows, 1024] grid is never materialized (its zeros + scatter
+        # + two full-grid C++ scans were ~70% of this collect's host time at
+        # the headline geometry; byte-identical streams by construction,
+        # pinned by test_lossy_sparse round-trips).
         from .. import native
 
-        T = q.shape[1]
-        flat = native.sparse_encode_batch(q.reshape(-1, q.shape[-1]))
+        T = t_max
+        nnz_all = np.concatenate([r for _, r in ent_parts])
+        entries_all = (
+            np.concatenate([e for e, _ in ent_parts])
+            if any(len(e) for e, _ in ent_parts)
+            else np.zeros(0, np.int32)
+        )
+        flat = native.sparse_encode_entries_csr(entries_all, nnz_all, HOP)
+        q = None
+        if flat is None:  # no toolchain: dense rows + python serializer
+            R = int(nnz_all.size)
+            cols, vals = compact.split_entries(entries_all)
+            q = np.zeros((R, HOP), np.int16)
+            if len(cols):
+                q[np.repeat(np.arange(R), nnz_all), cols] = vals
+            q = q.reshape(-1, t_max, HOP)  # [N*C, T, 1024]
 
         out = []
         for i, nh in enumerate(hops):
@@ -397,9 +409,10 @@ def encode_many_to_frames_async(
                 ]
             else:
                 payloads = None
+            qi = None if q is None else q[i * C : (i + 1) * C]
             out.append(
                 _assemble_frames(
-                    q[i * C : (i + 1) * C], sf_u16[i * C : (i + 1) * C], C, nh, payloads
+                    qi, sf_u16[i * C : (i + 1) * C], C, nh, payloads
                 )
             )
         return out

@@ -91,6 +91,12 @@ _SIGNATURES = {
         "sparse_decode_entries": [
             _u8p, _i64p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i32p
         ],
+        "sparse_sizes_csr": [
+            _i32p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int64, _i64p
+        ],
+        "sparse_encode_csr": [
+            _i32p, _i64p, _i32p, ctypes.c_int64, ctypes.c_int64, _i64p, _u8p
+        ],
     },
     "encode": {
         "lossless_search_batch": [
@@ -489,6 +495,45 @@ def sparse_encode_batch(rows: np.ndarray):
     if n:
         lib.sparse_encode(
             _ptr(rows, ctypes.c_int16), n, width,
+            _ptr(offsets, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
+        )
+    buf = out.tobytes()
+    return [buf[int(offsets[i]) : int(offsets[i] + sizes[i])] for i in range(n)]
+
+
+def sparse_encode_entries_csr(entries: np.ndarray, row_nnz: np.ndarray,
+                              width: int):
+    """C++ sparse RLE straight from sorted (col<<16|val) entries.
+
+    entries: [total] i32, row-major (row r owns the slice starting at
+    cumsum(row_nnz)[r-1], cols strictly ascending within a row — the device
+    compaction's output order, ops/compact.py); row_nnz: [n] int. Emits
+    byte-identical streams to sparse_encode_batch on the equivalent dense
+    rows without ever materializing them. Returns list[bytes] or None.
+    """
+    lib = _load("sparse")
+    if lib is None:
+        return None
+    entries = np.ascontiguousarray(entries, dtype=np.int32)
+    row_nnz = np.ascontiguousarray(row_nnz, dtype=np.int32)
+    n = len(row_nnz)
+    row_off = np.zeros(n, dtype=np.int64)
+    np.cumsum(row_nnz[:-1], dtype=np.int64, out=row_off[1:])
+    if entries.size == 0:
+        entries = np.zeros(1, dtype=np.int32)  # valid base pointer
+    sizes = np.empty(n, dtype=np.int64)
+    lib.sparse_sizes_csr(
+        _ptr(entries, ctypes.c_int32), _ptr(row_off, ctypes.c_int64),
+        _ptr(row_nnz, ctypes.c_int32), n, width, _ptr(sizes, ctypes.c_int64),
+    )
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + sizes[-1]) if n else 0
+    out = np.zeros(max(total, 1), dtype=np.uint8)
+    if n:
+        lib.sparse_encode_csr(
+            _ptr(entries, ctypes.c_int32), _ptr(row_off, ctypes.c_int64),
+            _ptr(row_nnz, ctypes.c_int32), n, width,
             _ptr(offsets, ctypes.c_int64), _ptr(out, ctypes.c_uint8),
         )
     buf = out.tobytes()

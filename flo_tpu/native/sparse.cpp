@@ -72,6 +72,75 @@ void sparse_encode(const int16_t* rows, int64_t n, int64_t width,
     for (int64_t r = 0; r < n; ++r) walk_row(rows + r * width, width, out + offsets[r]);
 }
 
+// ---- Encode straight FROM (col << 16 | value) entries (CSR rows) ----
+//
+// The device compaction already yields each row's nonzeros as sorted
+// entries; walking those emits the exact byte stream of walk_row on the
+// dense row without ever materializing it (the bulk encoder's dense
+// scatter + 2x full-grid scans were ~70% of its host collect time).
+namespace {
+
+inline int64_t walk_row_csr(const int32_t* e, int64_t nnz, int64_t width,
+                            uint8_t* out) {
+    int64_t pos = 0;
+    int64_t col = 0;  // first column not yet emitted
+    int64_t i = 0;
+    while (i < nnz) {
+        int32_t c0 = e[i] >> 16;
+        uint32_t zeros = static_cast<uint32_t>(c0 - col);
+        int64_t j = i;
+        int32_t prev = c0 - 1;
+        while (j < nnz && (j - i) < 255) {
+            int32_t cj = e[j] >> 16;
+            if (cj != prev + 1) break;
+            prev = cj;
+            ++j;
+        }
+        uint32_t nz = static_cast<uint32_t>(j - i);
+        if (out) {
+            pos = put_varint(out, pos, zeros);
+            out[pos++] = static_cast<uint8_t>(nz);
+            for (int64_t k = i; k < j; ++k) {
+                int16_t v = static_cast<int16_t>(static_cast<uint16_t>(e[k] & 0xFFFF));
+                std::memcpy(out + pos, &v, 2);
+                pos += 2;
+            }
+        } else {
+            pos += varint_len(zeros) + 1 + nz * 2;
+        }
+        col = prev + 1;
+        i = j;
+    }
+    if (col < width) {  // trailing zeros chunk, as walk_row emits
+        uint32_t zeros = static_cast<uint32_t>(width - col);
+        if (out) {
+            pos = put_varint(out, pos, zeros);
+            out[pos++] = 0;
+        } else {
+            pos += varint_len(zeros) + 1;
+        }
+    }
+    return pos;
+}
+
+}  // namespace
+
+void sparse_sizes_csr(const int32_t* entries, const int64_t* row_off,
+                      const int32_t* row_nnz, int64_t n, int64_t width,
+                      int64_t* sizes) {
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n; ++r)
+        sizes[r] = walk_row_csr(entries + row_off[r], row_nnz[r], width, nullptr);
+}
+
+void sparse_encode_csr(const int32_t* entries, const int64_t* row_off,
+                       const int32_t* row_nnz, int64_t n, int64_t width,
+                       const int64_t* out_offsets, uint8_t* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t r = 0; r < n; ++r)
+        walk_row_csr(entries + row_off[r], row_nnz[r], width, out + out_offsets[r]);
+}
+
 // Decode mirrors lossy/decoder.rs:134-188 incl. truncation tolerance.
 void sparse_decode(const uint8_t* blob, const int64_t* offsets, const int64_t* lens,
                    int64_t n, int64_t width, int16_t* out) {

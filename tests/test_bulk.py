@@ -109,6 +109,21 @@ class TestBulkLossy:
             # travel x32767-quantized, ~40 dB below codec noise).
             assert np.abs(a[:m] - b[:m]).max() < 3.1e-5
 
+    def test_csr_sparse_pack_byte_identical(self, files, monkeypatch):
+        """The collect's native CSR sparse pack (entries -> RLE, no dense
+        grid) must emit byte-identical FILES to the dense fallback path
+        (flat=None in fin): force the fallback by disabling the native CSR
+        encoder and compare whole encoded files."""
+        from flo_tpu import native
+
+        rate, fs = files
+        csr = loe.encode_many(fs, rate, 2, 0.55)
+        monkeypatch.setattr(native, "sparse_encode_entries_csr",
+                            lambda *a, **k: None)
+        dense = loe.encode_many(fs, rate, 2, 0.55)
+        for a, b in zip(csr, dense):
+            assert a == b
+
     def test_bulk_snr(self, files):
         rate, fs = files
         bulk = loe.encode_many(fs, rate, 2, 1.0)
