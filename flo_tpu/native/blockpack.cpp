@@ -28,6 +28,19 @@
 #include <cstdint>
 #include <cstring>
 
+// AVX-512 fast paths (this image's single Xeon core has F/DQ/BW/VL): the
+// 32x32 bit transpose becomes one vpmovd2m (pack) / vpmovm2d-style masked
+// OR (unpack) per plane per 16 codes, and the difference transforms use
+// direct k-th-difference formulas (d_k[j] = sum binom terms of r[j-i],
+// zero-extended) instead of the scalar loop-carried chain, so the whole
+// transform+zigzag vectorizes. The scalar bodies below stay as the
+// fallback for hosts without AVX-512 (the numpy fallback in
+// ops/blockpack.py remains the cross-check reference either way).
+#if defined(__AVX512F__) && defined(__AVX512DQ__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define FLO_BP_AVX512 1
+#endif
+
 namespace {
 
 constexpr int64_t BLK = 256;
@@ -68,6 +81,208 @@ inline uint32_t load_le32(const uint8_t* src) {
          | (static_cast<uint32_t>(src[3]) << 24);
 }
 
+#ifdef FLO_BP_AVX512
+
+inline __m512i zzv(__m512i v) {  // zigzag: (v << 1) ^ (v >> 31)
+    return _mm512_xor_si512(_mm512_slli_epi32(v, 1), _mm512_srai_epi32(v, 31));
+}
+
+inline __m512i unzzv(__m512i z) {  // inverse: (z >> 1) ^ -(z & 1)
+    const __m512i s = _mm512_sub_epi32(
+        _mm512_setzero_si512(), _mm512_and_si512(z, _mm512_set1_epi32(1)));
+    return _mm512_xor_si512(_mm512_srli_epi32(z, 1), s);
+}
+
+// In-register Hillis–Steele inclusive prefix sum over 16 i32 lanes.
+inline __m512i prefix16(__m512i v) {
+    const __m512i zero = _mm512_setzero_si512();
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 15));
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 14));
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 12));
+    v = _mm512_add_epi32(v, _mm512_alignr_epi32(v, zero, 8));
+    return v;
+}
+
+inline __m512i bcast15(__m512i v) {  // broadcast lane 15 to all lanes
+    return _mm512_permutexvar_epi32(_mm512_set1_epi32(15), v);
+}
+
+// Per-block zigzag-code OR-maxes for all 5 candidate transforms (the OR of
+// a set has the same bit width as its max), written to m[5]. Lanes j < k of
+// the first vector load r[j-k] with a shifted mask — the maskz zeroing IS
+// the k-th difference's zero-extension at the lane start, and the masked
+// lanes never touch r[-k] (AVX-512 masked loads suppress their faults).
+inline void analyze_lane_avx(const int32_t* r, int64_t n, int64_t nblk,
+                             uint8_t* w5 /* [5][nblk] scratch */,
+                             int64_t bytes[5]) {
+    for (int64_t b = 0; b < nblk; ++b) {
+        const int64_t j0 = b * BLK;
+        const int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
+        uint32_t m[5] = {0, 0, 0, 0, 0};
+        __m512i a0 = _mm512_setzero_si512(), a1 = a0, a2 = a0, a3 = a0,
+                a4 = a0;
+        for (int64_t j = j0; j < j1; j += 16) {
+            const int64_t rem = j1 - j;
+            const __mmask16 mk = rem >= 16
+                ? static_cast<__mmask16>(0xFFFF)
+                : static_cast<__mmask16>((1u << rem) - 1);
+            const bool head = (j == 0);
+            const __m512i v  = _mm512_maskz_loadu_epi32(mk, r + j);
+            const __m512i v1 = _mm512_maskz_loadu_epi32(
+                head ? (mk & static_cast<__mmask16>(0xFFFE)) : mk, r + j - 1);
+            const __m512i v2 = _mm512_maskz_loadu_epi32(
+                head ? (mk & static_cast<__mmask16>(0xFFFC)) : mk, r + j - 2);
+            const __m512i v3 = _mm512_maskz_loadu_epi32(
+                head ? (mk & static_cast<__mmask16>(0xFFF8)) : mk, r + j - 3);
+            const __m512i v4 = _mm512_maskz_loadu_epi32(
+                head ? (mk & static_cast<__mmask16>(0xFFF0)) : mk, r + j - 4);
+            const __m512i e0 = _mm512_sub_epi32(v, v1);
+            const __m512i e1 = _mm512_sub_epi32(v1, v2);
+            const __m512i e2 = _mm512_sub_epi32(v2, v3);
+            const __m512i e3 = _mm512_sub_epi32(v3, v4);
+            const __m512i f0 = _mm512_sub_epi32(e0, e1);
+            const __m512i f1 = _mm512_sub_epi32(e1, e2);
+            const __m512i f2 = _mm512_sub_epi32(e2, e3);
+            const __m512i g0 = _mm512_sub_epi32(f0, f1);
+            const __m512i g1 = _mm512_sub_epi32(f1, f2);
+            a0 = _mm512_or_si512(a0, zzv(v));
+            a1 = _mm512_or_si512(a1, zzv(e0));
+            a2 = _mm512_or_si512(a2, zzv(f0));
+            a3 = _mm512_or_si512(a3, zzv(g0));
+            a4 = _mm512_or_si512(a4, zzv(_mm512_sub_epi32(g0, g1)));
+        }
+        m[0] |= static_cast<uint32_t>(_mm512_reduce_or_epi32(a0));
+        m[1] |= static_cast<uint32_t>(_mm512_reduce_or_epi32(a1));
+        m[2] |= static_cast<uint32_t>(_mm512_reduce_or_epi32(a2));
+        m[3] |= static_cast<uint32_t>(_mm512_reduce_or_epi32(a3));
+        m[4] |= static_cast<uint32_t>(_mm512_reduce_or_epi32(a4));
+        for (int c = 0; c < 5; ++c) {
+            const int w = width_of(m[c]);
+            w5[c * nblk + b] = static_cast<uint8_t>(w);
+            bytes[c] += 32 * w;
+        }
+    }
+}
+
+// Pack one lane: build the chosen mode's zigzag codes per block, then emit
+// bit-planes with vpmovd2m (sign bit of codes << (31-p) == plane p).
+inline void pack_lane_avx(const int32_t* r, int64_t n, int64_t nblk, int mode,
+                          const uint8_t* wl, uint8_t* dst) {
+    alignas(64) uint32_t z[BLK];
+    for (int64_t b = 0; b < nblk; ++b) {
+        const int w = wl[b];
+        if (!w) continue;  // all-zero block (or fully past nvalid)
+        const int64_t j0 = b * BLK;
+        int64_t j1 = j0 + BLK < n ? j0 + BLK : n;
+        if (j1 < j0) j1 = j0;
+        for (int64_t j = j0; j < j0 + BLK; j += 16) {
+            const int64_t rem = j1 - j;
+            const __mmask16 mk = rem <= 0
+                ? static_cast<__mmask16>(0)
+                : (rem >= 16 ? static_cast<__mmask16>(0xFFFF)
+                             : static_cast<__mmask16>((1u << rem) - 1));
+            const bool head = (j == 0);
+            const __m512i v = _mm512_maskz_loadu_epi32(mk, r + j);
+            __m512i t = v;
+            if (mode >= 1) {
+                const __m512i v1 = _mm512_maskz_loadu_epi32(
+                    head ? (mk & static_cast<__mmask16>(0xFFFE)) : mk,
+                    r + j - 1);
+                const __m512i e0 = _mm512_sub_epi32(v, v1);
+                t = e0;
+                if (mode >= 2) {
+                    const __m512i v2 = _mm512_maskz_loadu_epi32(
+                        head ? (mk & static_cast<__mmask16>(0xFFFC)) : mk,
+                        r + j - 2);
+                    const __m512i e1 = _mm512_sub_epi32(v1, v2);
+                    const __m512i f0 = _mm512_sub_epi32(e0, e1);
+                    t = f0;
+                    if (mode >= 3) {
+                        const __m512i v3 = _mm512_maskz_loadu_epi32(
+                            head ? (mk & static_cast<__mmask16>(0xFFF8)) : mk,
+                            r + j - 3);
+                        const __m512i e2 = _mm512_sub_epi32(v2, v3);
+                        const __m512i f1 = _mm512_sub_epi32(e1, e2);
+                        const __m512i g0 = _mm512_sub_epi32(f0, f1);
+                        t = g0;
+                        if (mode >= 4) {
+                            const __m512i v4 = _mm512_maskz_loadu_epi32(
+                                head ? (mk & static_cast<__mmask16>(0xFFF0))
+                                     : mk,
+                                r + j - 4);
+                            const __m512i e3 = _mm512_sub_epi32(v3, v4);
+                            const __m512i f2 = _mm512_sub_epi32(e2, e3);
+                            const __m512i g1 = _mm512_sub_epi32(f1, f2);
+                            t = _mm512_sub_epi32(g0, g1);
+                        }
+                    }
+                }
+            }
+            _mm512_store_si512(reinterpret_cast<__m512i*>(z + (j - j0)),
+                               zzv(t));
+        }
+        for (int p = 0; p < w; ++p) {
+            for (int g = 0; g < 8; ++g) {
+                const __m512i lo = _mm512_load_si512(
+                    reinterpret_cast<const __m512i*>(z + 32 * g));
+                const __m512i hi = _mm512_load_si512(
+                    reinterpret_cast<const __m512i*>(z + 32 * g + 16));
+                const uint32_t wlo = _cvtmask16_u32(
+                    _mm512_movepi32_mask(_mm512_slli_epi32(lo, 31 - p)));
+                const uint32_t whi = _cvtmask16_u32(
+                    _mm512_movepi32_mask(_mm512_slli_epi32(hi, 31 - p)));
+                store_le32(dst, wlo | (whi << 16));
+                dst += 4;
+            }
+        }
+    }
+}
+
+// Unpack one lane's codes and hand each 16-code vector of decoded i32
+// values (mode-fold running sums applied) to Store(j, values, mask).
+template <typename Store>
+inline void unpack_lane_avx(const uint8_t* src, int64_t n, int64_t nblk,
+                            int mode, const uint8_t* wl, Store&& store) {
+    if (mode > 4) mode = 4;
+    __m512i carry[4] = {_mm512_setzero_si512(), _mm512_setzero_si512(),
+                        _mm512_setzero_si512(), _mm512_setzero_si512()};
+    for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
+        const int w = wl[b];
+        const int64_t j0 = b * BLK;
+        for (int g = 0; g < 8; ++g) {
+            __m512i zA = _mm512_setzero_si512(), zB = zA;
+            for (int p = 0; p < w; ++p) {
+                const uint32_t word = load_le32(src + 4 * (8 * p + g));
+                const __m512i pb = _mm512_set1_epi32(1 << p);
+                zA = _mm512_mask_or_epi32(
+                    zA, static_cast<__mmask16>(word & 0xFFFFu), zA, pb);
+                zB = _mm512_mask_or_epi32(
+                    zB, static_cast<__mmask16>(word >> 16), zB, pb);
+            }
+            __m512i vA = unzzv(zA), vB = unzzv(zB);
+            for (int t = 0; t < mode; ++t) {
+                vA = _mm512_add_epi32(prefix16(vA), carry[t]);
+                carry[t] = bcast15(vA);
+                vB = _mm512_add_epi32(prefix16(vB), carry[t]);
+                carry[t] = bcast15(vB);
+            }
+            const int64_t jA = j0 + 32 * g;
+            store(jA, vA,
+                  jA + 16 <= n ? static_cast<__mmask16>(0xFFFF)
+                  : jA >= n    ? static_cast<__mmask16>(0)
+                               : static_cast<__mmask16>((1u << (n - jA)) - 1));
+            const int64_t jB = jA + 16;
+            store(jB, vB,
+                  jB + 16 <= n ? static_cast<__mmask16>(0xFFFF)
+                  : jB >= n    ? static_cast<__mmask16>(0)
+                               : static_cast<__mmask16>((1u << (n - jB)) - 1));
+        }
+        src += 32 * w;
+    }
+}
+
+#endif  // FLO_BP_AVX512
+
 }  // namespace
 
 extern "C" {
@@ -85,6 +300,9 @@ void blockpack_analyze(const int32_t* rows, int64_t L, int64_t stride,
         uint8_t* wl = widths + l * nblk;
         // Per-block widths for each candidate transform, streamed.
         uint8_t* w0s = new uint8_t[5 * nblk];
+#ifdef FLO_BP_AVX512
+        analyze_lane_avx(r, n, nblk, w0s, bytes);
+#else
         uint32_t p0 = 0, p1 = 0, p2 = 0, p3 = 0;  // prev v, d1, d2, d3
         for (int64_t b = 0; b < nblk; ++b) {
             uint32_t m[5] = {0, 0, 0, 0, 0};
@@ -110,6 +328,7 @@ void blockpack_analyze(const int32_t* rows, int64_t L, int64_t stride,
                 bytes[c] += 32 * w;
             }
         }
+#endif  // FLO_BP_AVX512
         int mode = 0;
         for (int c = 1; c < 5; ++c)
             if (bytes[c] < bytes[mode]) mode = c;
@@ -132,6 +351,10 @@ void blockpack_pack(const int32_t* rows, int64_t L, int64_t stride,
         const int mode = modes[l];
         const uint8_t* wl = widths + l * nblk;
         uint8_t* dst = out + lane_off[l];
+#ifdef FLO_BP_AVX512
+        pack_lane_avx(r, n, nblk, mode, wl, dst);
+        continue;
+#else
         uint32_t p0 = 0, p1 = 0, p2 = 0, p3 = 0;  // prev v, d1, d2, d3
         uint32_t z[BLK];
         uint32_t planes[8][32];  // [group][transposed rows]
@@ -165,6 +388,7 @@ void blockpack_pack(const int32_t* rows, int64_t L, int64_t stride,
                 for (int g = 0; g < 8; ++g, dst += 4)
                     store_le32(dst, planes[g][31 - p]);
         }
+#endif  // FLO_BP_AVX512
     }
 }
 
@@ -181,6 +405,15 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
         const uint8_t* wl = widths + l * nblk;
         const uint8_t* src = buf + lane_off[l];
         int32_t* dst = out + l * out_stride;
+#ifdef FLO_BP_AVX512
+        unpack_lane_avx(src, n, nblk, mode, wl,
+                        [dst](int64_t j, __m512i v, __mmask16 mk) {
+                            _mm512_mask_storeu_epi32(dst + j, mk, v);
+                        });
+        if (n < out_stride)
+            std::memset(dst + n, 0, (out_stride - n) * sizeof(int32_t));
+        continue;
+#else
         uint32_t c1 = 0, c2 = 0, c3 = 0, c4 = 0;
         uint32_t A[32];
         for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
@@ -212,6 +445,7 @@ void blockpack_unpack(const uint8_t* buf, const int64_t* lane_off,
         }
         if (n < out_stride)
             std::memset(dst + n, 0, (out_stride - n) * sizeof(int32_t));
+#endif  // FLO_BP_AVX512
     }
 }
 
@@ -234,6 +468,32 @@ void blockpack_unpack_f32(const uint8_t* buf, const int64_t* lane_off,
         const uint8_t* wl = widths + l * nblk;
         const uint8_t* src = buf + lane_off[l];
         float* dst = out + out_base[l];
+#ifdef FLO_BP_AVX512
+        const __m512 sc = _mm512_set1_ps(scale);
+        if (out_step == 1) {
+            unpack_lane_avx(
+                src, n, nblk, mode, wl,
+                [dst, sc](int64_t j, __m512i v, __mmask16 mk) {
+                    _mm512_mask_storeu_ps(
+                        dst + j, mk,
+                        _mm512_mul_ps(_mm512_cvtepi32_ps(v), sc));
+                });
+        } else {
+            const __m512i sidx = _mm512_mullo_epi32(
+                _mm512_set_epi32(15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3,
+                                 2, 1, 0),
+                _mm512_set1_epi32(static_cast<int>(out_step)));
+            const int64_t step = out_step;
+            unpack_lane_avx(
+                src, n, nblk, mode, wl,
+                [dst, sc, sidx, step](int64_t j, __m512i v, __mmask16 mk) {
+                    _mm512_mask_i32scatter_ps(
+                        dst + j * step, mk, sidx,
+                        _mm512_mul_ps(_mm512_cvtepi32_ps(v), sc), 4);
+                });
+        }
+        continue;
+#else
         uint32_t c1 = 0, c2 = 0, c3 = 0, c4 = 0;
         uint32_t A[32];
         for (int64_t b = 0; b < nblk && b * BLK < n; ++b) {
@@ -262,6 +522,7 @@ void blockpack_unpack_f32(const uint8_t* buf, const int64_t* lane_off,
             }
             src += 32 * w;
         }
+#endif  // FLO_BP_AVX512
     }
 }
 
